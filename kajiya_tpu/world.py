@@ -1,0 +1,120 @@
+"""World renderer state: trace-ready scene bundle + hit attribute fetch.
+
+The TPU analog of `WorldRenderer`'s GPU tables + bindless access
+(`world_renderer.rs:142-215`, `inc/mesh.hlsl`/`inc/bindless.hlsl`): one pytree
+holding everything a trace/shade kernel needs, rebuilt (cheaply, in-jit) when
+instance transforms change — the counterpart of the per-frame TLAS rebuild.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from .rt.bvh import Bvh, bvh_from_scene, refit_bvh
+from .scene.scene import GpuScene
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class TraceScene:
+    """Everything needed to trace + shade: scene tables, BVH, world-space
+    triangle SoA and vertex normals."""
+
+    gpu: GpuScene
+    bvh: Bvh
+    v0: Any
+    e1: Any
+    e2: Any
+    vnormals: Any       # (V, 3) world-space vertex normals
+    light_v0: Any       # (L, 3) emissive triangle corners (world)
+    light_e1: Any
+    light_e2: Any
+    light_area: Any     # (L,)
+    light_emission: Any  # (L, 3)
+
+    _F = ("gpu", "bvh", "v0", "e1", "e2", "vnormals",
+          "light_v0", "light_e1", "light_e2", "light_area", "light_emission")
+
+    def tree_flatten(self):
+        return tuple(getattr(self, f) for f in self._F), None
+
+    @classmethod
+    def tree_unflatten(cls, _aux, ch):
+        return cls(*ch)
+
+    @property
+    def tris(self):
+        return (self.v0, self.e1, self.e2)
+
+
+def build_trace_scene(gpu: GpuScene, leaf_size: int = 4):
+    """Host-side: build BVH topology once. Returns (TraceScene, levels)."""
+    bvh, levels, _ = bvh_from_scene(gpu, leaf_size=leaf_size)
+    ts = refresh_trace_scene(gpu, bvh, levels)
+    return ts, levels
+
+
+def refresh_trace_scene(gpu: GpuScene, bvh: Bvh, levels) -> TraceScene:
+    """Jit-safe: recompute world geometry + refit BVH for current transforms
+    (the per-frame 'rebuild tlas' pass, `world_renderer.rs:865-911`)."""
+    wp = gpu.world_positions()
+    v0, e1, e2 = gpu.triangle_corners(wp)
+    bvh = refit_bvh(bvh, levels, v0, e1, e2)
+    vnormals = gpu.world_normals()
+
+    lt = jnp.maximum(gpu.light_tri, 0)
+    lv0, le1, le2 = v0[lt], e1[lt], e2[lt]
+    area = 0.5 * jnp.linalg.norm(jnp.cross(le1, le2), axis=-1)
+    emission = gpu.mat_emissive[gpu.tri_mat[lt]]
+    live = (gpu.light_tri >= 0)[:, None]
+    return TraceScene(
+        gpu=gpu, bvh=bvh, v0=v0, e1=e1, e2=e2, vnormals=vnormals,
+        light_v0=lv0, light_e1=le1, light_e2=le2,
+        light_area=jnp.where(live[:, 0], area, 0.0),
+        light_emission=jnp.where(live, emission, 0.0),
+    )
+
+
+def hit_attributes(ts: TraceScene, hit, ray_dir):
+    """Fetch shading attributes at hit points (the software `gbuffer.rchit`,
+    cf. `assets/shaders/rt/gbuffer.rchit.hlsl`). All entries are safe for
+    missed rays (mask with hit.hit_mask). Returns a dict of (R, ...) arrays."""
+    gpu = ts.gpu
+    tri = jnp.maximum(hit.tri, 0)
+    idx = gpu.tri_idx[tri]                       # (R, 3)
+    n0 = ts.vnormals[idx[:, 0]]
+    n1 = ts.vnormals[idx[:, 1]]
+    n2 = ts.vnormals[idx[:, 2]]
+    w = 1.0 - hit.u - hit.v
+    normal = n0 * w[:, None] + n1 * hit.u[:, None] + n2 * hit.v[:, None]
+    normal = normal / jnp.maximum(jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-8)
+
+    uv0 = gpu.uvs[idx[:, 0]]
+    uv1 = gpu.uvs[idx[:, 1]]
+    uv2 = gpu.uvs[idx[:, 2]]
+    uv = uv0 * w[:, None] + uv1 * hit.u[:, None] + uv2 * hit.v[:, None]
+
+    geo_n = jnp.cross(ts.e1[tri], ts.e2[tri])
+    geo_n = geo_n / jnp.maximum(jnp.linalg.norm(geo_n, axis=-1, keepdims=True), 1e-8)
+    # orient both normals against the incoming ray (double-sided materials)
+    flip = jnp.sign(-jnp.sum(geo_n * ray_dir, axis=-1))[:, None]
+    flip = jnp.where(flip == 0.0, 1.0, flip)
+    geo_n = geo_n * flip
+    normal = jnp.where((jnp.sum(normal * geo_n, axis=-1) < 0.0)[:, None], -normal, normal)
+
+    mat = gpu.tri_mat[tri]
+    pos = ts.v0[tri] + ts.e1[tri] * hit.u[:, None] + ts.e2[tri] * hit.v[:, None]
+    return dict(
+        pos=pos,
+        normal=normal,
+        geo_normal=geo_n,
+        uv=uv,
+        base_color=gpu.mat_base_color[mat][:, :3],
+        metallic=gpu.mat_metallic[mat],
+        roughness=gpu.mat_roughness[mat],
+        emissive=gpu.mat_emissive[mat],
+        material=mat,
+    )
