@@ -1,0 +1,158 @@
+"""Image-space utilities shared by the screen-space passes.
+
+Fills the role of the sampler objects + small helper kernels of the reference
+(immutable sampler set `vulkan/device.rs:452-499`; half-res extraction kernels
+`renderers/half_res.rs:4-44`). TPUs have no texture units, so sampling is
+explicit gathers; everything below is static-shape, jit-friendly, and written
+to keep gathers coalesced along the fast (width) axis.
+
+Convention: images are (H, W) or (H, W, C) float32; uv has origin at the
+top-left, v pointing down (matching the reference's screen convention).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _gather2d(img, iy, ix):
+    """img[(iy, ix)] with clamped integer indices; iy/ix any equal shape."""
+    h, w = img.shape[0], img.shape[1]
+    iy = jnp.clip(iy, 0, h - 1)
+    ix = jnp.clip(ix, 0, w - 1)
+    return img[iy, ix]
+
+
+def sample_nearest(img, uv):
+    """Nearest sample at uv in [0,1)^2. uv: (..., 2) -> (..., C)."""
+    h, w = img.shape[0], img.shape[1]
+    ix = jnp.floor(uv[..., 0] * w).astype(jnp.int32)
+    iy = jnp.floor(uv[..., 1] * h).astype(jnp.int32)
+    return _gather2d(img, iy, ix)
+
+
+def sample_bilinear(img, uv):
+    """Bilinear sample at uv in [0,1)^2 with clamp-to-edge addressing."""
+    h, w = img.shape[0], img.shape[1]
+    x = uv[..., 0] * w - 0.5
+    y = uv[..., 1] * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)
+    fy = (y - y0)
+    if img.ndim == 3:
+        fx = fx[..., None]
+        fy = fy[..., None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    c00 = _gather2d(img, y0i, x0i)
+    c10 = _gather2d(img, y0i, x0i + 1)
+    c01 = _gather2d(img, y0i + 1, x0i)
+    c11 = _gather2d(img, y0i + 1, x0i + 1)
+    top = c00 * (1.0 - fx) + c10 * fx
+    bot = c01 * (1.0 - fx) + c11 * fx
+    return top * (1.0 - fy) + bot * fy
+
+
+def bilinear_weights_and_indices(img_hw, uv):
+    """The four taps + weights of a bilinear footprint (for custom-weight
+    filters like depth-aware reprojection). Returns (iy, ix, w) each (..., 4)."""
+    h, w = img_hw
+    x = uv[..., 0] * w - 0.5
+    y = uv[..., 1] * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    iy = jnp.stack([y0i, y0i, y0i + 1, y0i + 1], axis=-1)
+    ix = jnp.stack([x0i, x0i + 1, x0i, x0i + 1], axis=-1)
+    ww = jnp.stack(
+        [(1 - fx) * (1 - fy), fx * (1 - fy), (1 - fx) * fy, fx * fy], axis=-1)
+    return iy, ix, ww
+
+
+def pixel_uv(h: int, w: int):
+    """(H, W, 2) pixel-center uv lattice."""
+    u = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
+    v = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
+    return jnp.stack(jnp.broadcast_arrays(u[None, :], v[:, None]), axis=-1)
+
+
+def downsample_2x(img):
+    """2x2 box reduce (the `half_res` extraction family, half_res.rs:4-44)."""
+    h, w = img.shape[0] // 2 * 2, img.shape[1] // 2 * 2
+    x = img[:h, :w]
+    if img.ndim == 3:
+        x = x.reshape(h // 2, 2, w // 2, 2, -1)
+        return x.mean(axis=(1, 3))
+    x = x.reshape(h // 2, 2, w // 2, 2)
+    return x.mean(axis=(1, 3))
+
+
+def downsample_min(img):
+    h, w = img.shape[0] // 2 * 2, img.shape[1] // 2 * 2
+    return img[:h, :w].reshape(h // 2, 2, w // 2, 2).min(axis=(1, 3))
+
+
+def downsample_nearest(img):
+    """Take top-left texel of each 2x2 quad (matches half-res depth extract)."""
+    return img[::2, ::2]
+
+
+def upsample_bilinear(img, out_h: int, out_w: int):
+    uv = pixel_uv(out_h, out_w)
+    return sample_bilinear(img, uv)
+
+
+def shift2d(img, dy: int, dx: int):
+    """Shift with edge clamp (static offsets) — the building block of small
+    stencil filters (a-trous, box)."""
+    h, w = img.shape[0], img.shape[1]
+    ys = jnp.clip(jnp.arange(h) + dy, 0, h - 1)
+    xs = jnp.clip(jnp.arange(w) + dx, 0, w - 1)
+    return img[ys][:, xs]
+
+
+def separable_blur(img, taps):
+    """Separable odd-length blur with static weights (e.g. gaussian)."""
+    r = len(taps) // 2
+    acc = None
+    for i, t in enumerate(taps):
+        s = shift2d(img, 0, i - r) * t
+        acc = s if acc is None else acc + s
+    out = None
+    for i, t in enumerate(taps):
+        s = shift2d(acc, i - r, 0) * t
+        out = s if out is None else out + s
+    return out
+
+
+GAUSS5 = (0.0625, 0.25, 0.375, 0.25, 0.0625)
+
+
+def local_moments_3x3(img):
+    """Per-pixel mean and variance over the 3x3 neighborhood (single channel
+    or per-channel); the workhorse of temporal variance clamps."""
+    m1 = jnp.zeros_like(img)
+    m2 = jnp.zeros_like(img)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            v = shift2d(img, dy, dx)
+            m1 = m1 + v
+            m2 = m2 + v * v
+    m1 = m1 / 9.0
+    m2 = m2 / 9.0
+    return m1, jnp.maximum(m2 - m1 * m1, 0.0)
+
+
+def minmax_3x3(img):
+    lo = img
+    hi = img
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            v = shift2d(img, dy, dx)
+            lo = jnp.minimum(lo, v)
+            hi = jnp.maximum(hi, v)
+    return lo, hi

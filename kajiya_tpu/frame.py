@@ -1,0 +1,251 @@
+"""Frame assembly: the full hybrid-GI pass DAG over an explicit FrameState.
+
+Role of `world_render_passes.rs:13-292` (standard pipeline) and the temporal
+resource registry (`kajiya-rg/src/temporal.rs`): where the reference wires
+~60 passes through a render graph with named persistent images, the TPU
+build threads one explicit pytree of persistent arrays through a single
+jitted function:
+
+    state', outputs = render_frame(trace_scene, state, view, cfg)
+
+XLA sees the whole frame at once — pass fusion, scheduling, and memory
+aliasing replace the hand-built graph/barrier machinery (SURVEY.md section 5:
+"barriers/usage inference disappear"). Ping-pong pairs become functional
+array swaps; `DynamicConstants` become traced scalars.
+
+Pass order mirrors the reference DAG: refit BVH -> sky env + convolve ->
+gbuffer (primary trace) -> reprojection -> ssao -> shadow trace + denoise ->
+rtdgi -> rtr -> light_gbuffer -> taa -> post (exposure, glare, tonemap).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+
+import jax
+import jax.numpy as jnp
+
+from .core import rng as rng_mod
+from .core.camera import ViewConstants
+from .renderers import deferred, gbuffer, post, reprojection, rtdgi, rtr, shadows, ssgi, taa
+from .sky import env as sky_env_mod
+from .world import refresh_trace_scene
+
+
+@dataclass(frozen=True)
+class RenderConfig:
+    """Static frame configuration (shapes/flags must be static for jit).
+    Mirrors the builder params of `SimpleMainLoop` + `RenderOverrides`."""
+
+    width: int = 1920
+    height: int = 1080
+    temporal_upsampling: float = 1.0     # output res = render res * this
+    near: float = 0.01
+    max_trace_steps: int | None = None   # None = run traversal to completion
+    sun_soft_shadows: bool = True
+    use_rtdgi: bool = True
+    use_rtr: bool = True
+    use_ssao: bool = True
+    use_taa: bool = True
+    debug_mode: str = "none"             # deferred.DEBUG_MODES
+    ev_shift: float = 0.0
+    dt: float = 1.0 / 60.0
+
+    @property
+    def out_width(self):
+        return int(round(self.width * self.temporal_upsampling))
+
+    @property
+    def out_height(self):
+        return int(round(self.height * self.temporal_upsampling))
+
+
+# 128-entry Halton(2,3) jitter sequence (world_renderer.rs:425-428)
+_HALTON = None
+
+
+def jitter_for_frame(frame_idx, enabled: bool = True):
+    """(2,) sub-pixel jitter in [-0.5, 0.5) for TAA."""
+    global _HALTON
+    if _HALTON is None:
+        _HALTON = jnp.asarray(rng_mod.halton23_sequence(128) - 0.5)
+    if not enabled:
+        return jnp.zeros((2,), jnp.float32)
+    return _HALTON[jnp.asarray(frame_idx, jnp.int32) % 128]
+
+
+def init_frame_state(cfg: RenderConfig):
+    """The explicit temporal-resource pytree (~40 named arrays in the
+    reference's TemporalRenderGraph; here one checkpointable dict)."""
+    h, w = cfg.height, cfg.width
+    oh, ow = cfg.out_height, cfg.out_width
+    state = {
+        "frame_idx": jnp.asarray(0, jnp.int32),
+        "prev_depth": jnp.zeros((h, w), jnp.float32),
+        "prev_lit": jnp.zeros((h, w, 3), jnp.float32),
+    }
+    state.update(shadows.init_state(h, w))
+    state.update(ssgi.init_state(h, w))
+    state.update(rtdgi.init_state(h, w))
+    state.update(rtr.init_state(h, w))
+    state.update(taa.init_state(oh, ow))
+    state.update(post.init_exposure_state())
+    return state
+
+
+def render_frame(ts, state, view: ViewConstants, cfg: RenderConfig,
+                 levels=None, ircache_lookup=None):
+    """One frame. Returns (new_state, outputs) where outputs carries the
+    display image and intermediate buffers for debugging/testing.
+
+    `levels` is the static BVH refit schedule from `build_trace_scene`; when
+    given, geometry is re-transformed and the BVH refit in-jit (the per-frame
+    'rebuild tlas' pass, `world_renderer.rs:865-911`)."""
+    h, w = cfg.height, cfg.width
+    frame_idx = state["frame_idx"]
+    mts = cfg.max_trace_steps
+
+    if levels is not None:
+        ts = refresh_trace_scene(ts.gpu, ts.bvh, levels)
+
+    # --- sky cube + convolve (sky.rs)
+    sky_env = sky_env_mod.build_sky_env(ts.gpu.sun_direction)
+    diffuse_env = sky_env_mod.convolve_diffuse(sky_env)
+
+    # --- primary visibility ("raster simple")
+    gb = gbuffer.raytrace_gbuffer(ts, view, w, h, max_trace_steps=mts)
+
+    # --- reprojection map
+    reproj = reprojection.calculate_reprojection_map(
+        gb, state["prev_depth"], view, near=cfg.near)
+
+    # --- ssao
+    if cfg.use_ssao:
+        ao, ssgi_state = ssgi.ssao_pipeline(gb, view, frame_idx,
+                                            {"ssao_history": state["ssao_history"]},
+                                            reproj, near=cfg.near)
+    else:
+        ao = jnp.ones((h, w), jnp.float32)
+        ssgi_state = {"ssao_history": state["ssao_history"]}
+
+    # --- sun shadows + denoise
+    if cfg.sun_soft_shadows:
+        mask = shadows.trace_sun_shadow_mask(ts, gb, frame_idx,
+                                             max_trace_steps=mts)
+        shadow, shadow_state = shadows.denoise(
+            mask, {"moments": state["moments"],
+                   "history_len": state["history_len"]},
+            reproj, gb, near=cfg.near)
+    else:
+        shadow = jnp.ones((h, w), jnp.float32)
+        shadow_state = {"moments": state["moments"],
+                        "history_len": state["history_len"]}
+
+    # --- diffuse GI
+    if cfg.use_rtdgi:
+        dgi, rtdgi_state = rtdgi.rtdgi_pipeline(
+            ts, gb, view, frame_idx,
+            {"rtdgi_history": state["rtdgi_history"],
+             "rtdgi_hist_len": state["rtdgi_hist_len"]},
+            reproj, sky_env, diffuse_env, ssao=ao,
+            prev_lit=state["prev_lit"], prev_depth=state["prev_depth"],
+            ircache_lookup=ircache_lookup, max_trace_steps=mts)
+    else:
+        dgi = sky_env_mod.sample_env(diffuse_env, gb["normal"].reshape(-1, 3)
+                                     ).reshape(h, w, 3) * ao[..., None]
+        rtdgi_state = {"rtdgi_history": state["rtdgi_history"],
+                       "rtdgi_hist_len": state["rtdgi_hist_len"]}
+
+    # --- reflections
+    if cfg.use_rtr:
+        refl, rtr_state = rtr.rtr_pipeline(
+            ts, gb, view, frame_idx,
+            {"rtr_history": state["rtr_history"],
+             "rtr_hist_len": state["rtr_hist_len"],
+             "rtr_ray_len": state["rtr_ray_len"]},
+            reproj, sky_env, diffuse_env,
+            prev_lit=state["prev_lit"], prev_depth=state["prev_depth"],
+            ircache_lookup=ircache_lookup, max_trace_steps=mts)
+    else:
+        refl = sky_env_mod.sample_env(
+            sky_env, _reflect(gb["ray_dir"], gb["normal"]).reshape(-1, 3)
+        ).reshape(h, w, 3)
+        rtr_state = {"rtr_history": state["rtr_history"],
+                     "rtr_hist_len": state["rtr_hist_len"],
+                     "rtr_ray_len": state["rtr_ray_len"]}
+
+    # --- deferred combine (light_gbuffer)
+    sky_bg = sky_env_mod.sample_env(sky_env, gb["ray_dir"].reshape(-1, 3)
+                                    ).reshape(h, w, 3)
+    lit = deferred.light_gbuffer(
+        gb, shadow, dgi, refl, sky_bg,
+        ts.gpu.sun_radiance, ts.gpu.sun_direction,
+        ssao=ao, debug_mode=cfg.debug_mode)
+
+    # --- taa (temporal super-res)
+    if cfg.use_taa:
+        aa, taa_state = taa.taa(
+            lit, {"taa_history": state["taa_history"],
+                  "taa_valid": state["taa_valid"]},
+            reproj, view.sample_offset_pixels, cfg.out_height, cfg.out_width)
+    else:
+        aa = lit
+        taa_state = {"taa_history": state["taa_history"],
+                     "taa_valid": state["taa_valid"]}
+
+    # --- post: exposure + glare + tonemap
+    exposure, exp_state = post.update_exposure(
+        {"smoothed_ev": state["smoothed_ev"]}, lit,
+        dt=cfg.dt, ev_shift=cfg.ev_shift)
+    final = post.post_combine(aa, exposure)
+
+    new_state = {
+        "frame_idx": frame_idx + 1,
+        "prev_depth": gb["depth"],
+        "prev_lit": lit,
+        **shadow_state, **ssgi_state, **rtdgi_state, **rtr_state,
+        **taa_state, **exp_state,
+    }
+    outputs = {
+        "final": final, "lit": lit, "gbuffer": gb, "shadow": shadow,
+        "ssao": ao, "diffuse_gi": dgi, "reflections": refl,
+        "reproj": reproj, "exposure": exposure, "taa": aa,
+    }
+    return new_state, outputs
+
+
+def _reflect(d, n):
+    return d - 2.0 * jnp.sum(d * n, axis=-1, keepdims=True) * n
+
+
+class Renderer:
+    """Convenience wrapper: owns scene tables, BVH, FrameState, and the
+    jit-compiled frame (the `WorldRenderer` + `rg::Renderer` pair of the
+    reference, `world_renderer.rs:142-215` / `kajiya-rg/src/renderer.rs`)."""
+
+    def __init__(self, scene, cfg: RenderConfig = RenderConfig()):
+        from .scene.scene import build_gpu_scene
+        from .world import build_trace_scene
+
+        self.cfg = cfg
+        self.gpu = build_gpu_scene(scene)
+        self.ts, self.levels = build_trace_scene(self.gpu)
+        self.state = init_frame_state(cfg)
+        levels = self.levels
+
+        def _frame(ts, state, view):
+            return render_frame(ts, state, view, cfg, levels=levels)
+
+        self._frame = jax.jit(_frame)
+
+    def draw(self, view: ViewConstants):
+        """Render one frame, advancing temporal state. Returns outputs dict."""
+        self.state, outputs = self._frame(self.ts, self.state, view)
+        return outputs
+
+    def set_transforms(self, xforms):
+        """Update instance transforms (I, 3, 4); previous transforms roll."""
+        self.ts.gpu.xforms_prev = self.ts.gpu.xforms
+        self.ts.gpu.xforms = jnp.asarray(xforms, jnp.float32)
+
+    def jitter(self, enabled: bool = True):
+        return jitter_for_frame(self.state["frame_idx"], enabled)

@@ -1,0 +1,94 @@
+"""G-buffer generation by primary-ray visibility.
+
+Role of the reference's raster pass (`renderers/raster_meshes.rs:28-178`,
+`raster_simple_vs/ps.hlsl`) + gbuffer packing (`inc/gbuffer.hlsl:51-60`).
+On TPU the idiomatic "raster" of a fully ray-traced engine is a primary
+visibility trace: one camera ray per pixel through the same BVH used by every
+other pass — no divergence, perfectly coherent rays, and it unifies the
+"RTX on" pipeline. Outputs stay UNPACKED as planar f32 arrays (dense SoA is
+the TPU analog of the packed RGBA32 gbuffer; bit-packing would only cost VPU
+ops here since HBM stores are already minimal per plane).
+
+Velocity is computed exactly like `raster_simple_vs.hlsl`: current and
+previous world positions of the same surface point under the instance's
+current/previous transforms, projected with the respective view matrices.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core.camera import ViewConstants, camera_rays
+from ..rt.trace import trace_closest
+from ..world import TraceScene, hit_attributes
+
+
+def _project(m, p):
+    """(4,4) @ (..., 3) homogeneous -> clip (..., 4)."""
+    return jnp.einsum("ij,...j->...i", m[:, :3], p) + m[:, 3]
+
+
+def raytrace_gbuffer(ts: TraceScene, view: ViewConstants, width: int, height: int,
+                     max_trace_steps=None):
+    """Trace primary rays -> gbuffer dict of (H, W[, C]) planes.
+
+    Keys: depth (reversed-inf-Z; 0 = sky), normal, geo_normal, albedo,
+    metallic, roughness, emissive, velocity (uv delta cur->prev), pos (world),
+    hit (bool), ray_dir.
+    """
+    org, d = camera_rays(view, width, height)
+    orgf = org.reshape(-1, 3)
+    df = d.reshape(-1, 3)
+    hit = trace_closest(ts.bvh, ts.tris, orgf, df, max_steps=max_trace_steps)
+    attrs = hit_attributes(ts, hit, df)
+
+    m = hit.hit_mask
+    pos = attrs["pos"]
+
+    # reversed-infinite-Z depth from view-space z (camera.rs:89-126 convention)
+    vpos = _project(view.world_to_view, pos)[..., :3]
+    near = view.view_to_clip[2, 3]
+    depth = jnp.where(m, near / jnp.maximum(-vpos[..., 2], 1e-8), 0.0)
+
+    # velocity: reproject the same surface point under the PREVIOUS instance
+    # transform and previous camera (raster_simple_vs.hlsl behavior)
+    gpu = ts.gpu
+    tri = jnp.maximum(hit.tri, 0)
+    inst = gpu.tri_inst[tri]
+    idx = gpu.tri_idx[tri]
+    w = 1.0 - hit.u - hit.v
+    obj_pos = (gpu.verts_obj[idx[:, 0]] * w[:, None]
+               + gpu.verts_obj[idx[:, 1]] * hit.u[:, None]
+               + gpu.verts_obj[idx[:, 2]] * hit.v[:, None])
+    xf_prev = gpu.xforms_prev[inst]
+    world_prev = jnp.einsum("rij,rj->ri", xf_prev[:, :, :3], obj_pos) + xf_prev[:, :, 3]
+
+    clip_cur = _project(view.world_to_clip, pos)
+    clip_prev = _project(view.world_to_clip_prev, world_prev)
+    ndc_cur = clip_cur[..., :2] / jnp.maximum(clip_cur[..., 3:4], 1e-8)
+    ndc_prev = clip_prev[..., :2] / jnp.maximum(clip_prev[..., 3:4], 1e-8)
+    # ndc (+Y up) -> uv (origin top-left): u = 0.5 + x/2, v = 0.5 - y/2
+    uv_cur = jnp.stack([0.5 + 0.5 * ndc_cur[..., 0], 0.5 - 0.5 * ndc_cur[..., 1]], -1)
+    uv_prev = jnp.stack([0.5 + 0.5 * ndc_prev[..., 0], 0.5 - 0.5 * ndc_prev[..., 1]], -1)
+    velocity = jnp.where(m[:, None], uv_prev - uv_cur, 0.0)
+
+    def r(x):
+        return x.reshape((height, width) + x.shape[1:])
+
+    return {
+        "depth": r(depth),
+        "normal": r(jnp.where(m[:, None], attrs["normal"], 0.0)),
+        "geo_normal": r(jnp.where(m[:, None], attrs["geo_normal"], 0.0)),
+        "albedo": r(jnp.where(m[:, None], attrs["base_color"], 0.0)),
+        "metallic": r(jnp.where(m, attrs["metallic"], 0.0)),
+        "roughness": r(jnp.where(m, attrs["roughness"], 1.0)),
+        "emissive": r(jnp.where(m[:, None], attrs["emissive"], 0.0)),
+        "velocity": r(velocity),
+        "pos": r(jnp.where(m[:, None], pos, 0.0)),
+        "hit": r(m),
+        "ray_dir": r(df),
+    }
+
+
+def gbuffer_view_z(gb, near: float = 0.01):
+    """Positive view-space distance; large for sky."""
+    return jnp.where(gb["hit"], near / jnp.maximum(gb["depth"], 1e-12), 1e8)

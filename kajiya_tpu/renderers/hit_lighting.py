@@ -1,0 +1,82 @@
+"""Secondary-hit radiance: lighting at GI/reflection ray hit points.
+
+Role of the hit-lighting block shared by the reference's RT passes
+(`rtdgi/trace_diffuse.rgen.hlsl`, `rtr/reflection.rgen.hlsl`, doc
+`gi-overview.md:99-161`): at each secondary hit evaluate
+  emissive + sun NEE (one shadow ray) + ambient from the irradiance cache
+  (or sky-diffuse fallback) + screen-space reuse of last frame's lit image
+  when the hit point is on screen (temporal feedback making GI multi-bounce).
+On miss: atmosphere radiance.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..brdf import ggx
+from ..core import img as im
+from ..rt.trace import trace_shadow
+from ..sky.env import sample_env
+from ..world import hit_attributes
+
+RAY_EPS = 1e-4
+
+
+def _project_to_uv(world_to_clip, p):
+    clip = jnp.einsum("ij,...j->...i", world_to_clip[:, :3], p) + world_to_clip[:, 3]
+    w = jnp.maximum(clip[..., 3:4], 1e-8)
+    ndc = clip[..., :2] / w
+    uv = jnp.stack([0.5 + 0.5 * ndc[..., 0], 0.5 - 0.5 * ndc[..., 1]], -1)
+    in_front = clip[..., 3] > 1e-6
+    inb = ((uv[..., 0] > 0.0) & (uv[..., 0] < 1.0)
+           & (uv[..., 1] > 0.0) & (uv[..., 1] < 1.0) & in_front)
+    return uv, inb
+
+
+def hit_radiance(ts, hit, ray_dir, sky_env, diffuse_env,
+                 prev_lit=None, prev_depth=None, view=None,
+                 ircache_lookup=None, max_trace_steps=None, near: float = 0.01):
+    """Radiance arriving along `ray_dir` from hit/miss points. (R,) rays.
+
+    prev_lit/prev_depth + view enable screen-space radiance reuse (the
+    reference reprojects last frame's `accum` when the hit lands on-screen,
+    `gi-overview.md:127-147`). ircache_lookup(pos, normal) -> irradiance/pi
+    supplies "infinite bounce" ambient; falls back to the convolved sky.
+    """
+    m = hit.hit_mask
+    attrs = hit_attributes(ts, hit, ray_dir)
+    pos, n = attrs["pos"], attrs["normal"]
+
+    # --- sun direct at the hit (one shadow ray; the reference's 1 shadow/px)
+    sun_dir = jnp.broadcast_to(ts.gpu.sun_direction, pos.shape)
+    cos_s = jnp.maximum(jnp.sum(n * sun_dir, axis=-1), 0.0)
+    occ = trace_shadow(ts.bvh, ts.tris, pos + attrs["geo_normal"] * RAY_EPS * 8,
+                       sun_dir, t_min=RAY_EPS, max_steps=max_trace_steps)
+    sun_vis = jnp.where(m & ~occ, cos_s, 0.0)
+    albedo, _f0 = ggx.derive_lobes(attrs["base_color"], attrs["metallic"])
+    direct = albedo / jnp.pi * ts.gpu.sun_radiance * sun_vis[:, None]
+
+    # --- ambient: irradiance cache (preferred) or convolved sky
+    if ircache_lookup is not None:
+        amb_irr = ircache_lookup(pos, n)
+    else:
+        amb_irr = sample_env(diffuse_env, n)
+    ambient = albedo * amb_irr
+
+    radiance = attrs["emissive"] + direct + ambient
+
+    # --- screen-space reuse of last frame's lit image
+    if prev_lit is not None and view is not None and prev_depth is not None:
+        uv, inb = _project_to_uv(view.world_to_clip_prev, pos)
+        reused = im.sample_bilinear(prev_lit, uv)
+        # depth check: is the stored surface the one we hit?
+        vz_expected = -(jnp.einsum("ij,rj->ri", view.world_to_view_prev[:3, :3],
+                                   pos)[..., 2] + view.world_to_view_prev[2, 3])
+        pd = im.sample_nearest(prev_depth, uv)
+        vz_stored = near / jnp.maximum(pd, 1e-12)
+        same = jnp.abs(vz_stored / jnp.maximum(vz_expected, 1e-6) - 1.0) < 0.05
+        use = (inb & same & m & (pd > 0))[:, None]
+        radiance = jnp.where(use, reused, radiance)
+
+    # --- miss: sky
+    sky = sample_env(sky_env, ray_dir)
+    return jnp.where(m[:, None], radiance, sky)

@@ -1,0 +1,136 @@
+"""Post-processing: blur pyramid, histogram exposure, glare, tone mapping.
+
+Role of `renderers/post.rs:109-271` + `post_combine.hlsl` and the exposure
+state machine in `world_renderer.rs:217-286`:
+  * downsample blur pyramid -> 256-bin log-luminance histogram (GPU) with CPU
+    readback for smoothed dynamic exposure;
+  * reverse (upsample) blur pyramid = glare spread;
+  * post_combine: glare composite, post-exposure multiply, contrast, display
+    transform (tone map), sRGB encode.
+
+TPU design: the histogram is a one-hot bincount (psum-able across a device
+mesh — SURVEY.md section 2.8 names it the canonical collective); exposure
+smoothing stays INSIDE the jitted frame as part of FrameState (no host
+readback); the pyramid is a chain of 2x box reduces + gaussian taps.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core import img as im
+from ..core.color import luminance, srgb_encode
+
+HIST_BINS = 256
+EV_MIN, EV_MAX = -16.0, 16.0
+
+
+# ----------------------------------------------------------------------------
+# Luminance histogram + dynamic exposure
+# ----------------------------------------------------------------------------
+
+def luminance_histogram(rgb):
+    """(HIST_BINS,) normalized log2-luminance histogram
+    (post/luminance_histogram_calculate.hlsl)."""
+    lum = jnp.maximum(luminance(rgb), 1e-8)
+    ev = jnp.clip(jnp.log2(lum), EV_MIN, EV_MAX)
+    bins = ((ev - EV_MIN) / (EV_MAX - EV_MIN) * (HIST_BINS - 1)).astype(jnp.int32)
+    hist = jnp.zeros((HIST_BINS,), jnp.float32).at[bins.reshape(-1)].add(
+        1.0, mode="promise_in_bounds")
+    return hist / jnp.maximum(jnp.sum(hist), 1.0)
+
+
+def exposure_from_histogram(hist, low_frac=0.6, high_frac=0.95,
+                            ev_shift: float = 0.0):
+    """Mean EV of the [low, high] percentile band -> target exposure
+    multiplier (the reference's histogram metering, `post.rs:184-231`)."""
+    cdf = jnp.cumsum(hist)
+    centers = jnp.linspace(EV_MIN, EV_MAX, HIST_BINS)
+    band = ((cdf >= low_frac) & (cdf <= high_frac)).astype(jnp.float32) * hist
+    w = jnp.maximum(jnp.sum(band), 1e-6)
+    mean_ev = jnp.sum(band * centers) / w
+    # map scene EV to a target such that mean maps to middle grey-ish
+    return -mean_ev + ev_shift
+
+
+def init_exposure_state(ev_shift: float = 0.0):
+    return {"smoothed_ev": jnp.asarray(0.0, jnp.float32)}
+
+
+def update_exposure(state, lit, dt: float = 1.0 / 60.0, speed: float = 2.5,
+                    ev_shift: float = 0.0):
+    """Smoothed dynamic exposure (world_renderer.rs:919-948). Returns
+    (exposure_multiplier, new_state)."""
+    hist = luminance_histogram(lit)
+    target = exposure_from_histogram(hist, ev_shift=ev_shift)
+    t = 1.0 - jnp.exp(-speed * dt)
+    ev = state["smoothed_ev"] + (target - state["smoothed_ev"]) * t
+    return jnp.exp2(ev), {"smoothed_ev": ev}
+
+
+# ----------------------------------------------------------------------------
+# Glare pyramid
+# ----------------------------------------------------------------------------
+
+def glare_pyramid(lit, levels: int = 6):
+    """Downsample chain with gaussian prefilter, then reverse accumulate —
+    the `_blurN` / `_rev_blurN` pyramid pair (post.rs:24-108)."""
+    mips = [lit]
+    x = lit
+    for _ in range(levels):
+        if min(x.shape[0], x.shape[1]) < 4:
+            break
+        x = im.downsample_2x(_blur3(x))
+        mips.append(x)
+    # reverse: upsample and accumulate downward with equal weights
+    acc = mips[-1]
+    for m in reversed(mips[:-1]):
+        acc = _blur3(im.upsample_bilinear(acc, m.shape[0], m.shape[1])) * 0.6 + m * 0.4
+    return acc
+
+
+def _blur3(img):
+    k = (0.25, 0.5, 0.25)
+    acc = None
+    for i, t in enumerate(k):
+        s = im.shift2d(img, 0, i - 1) * t
+        acc = s if acc is None else acc + s
+    out = None
+    for i, t in enumerate(k):
+        s = im.shift2d(acc, i - 1, 0) * t
+        out = s if out is None else out + s
+    return out
+
+
+# ----------------------------------------------------------------------------
+# Display transform
+# ----------------------------------------------------------------------------
+
+def tonemap_filmic(x):
+    """Neutral filmic curve (role of `inc/color/display_transform.hlsl`,
+    the notorious6-derived transform): shoulder + toe, hue-preserving via
+    max-channel normalization."""
+    peak = jnp.max(x, axis=-1, keepdims=True)
+    peak_safe = jnp.maximum(peak, 1e-8)
+    ratio = x / peak_safe
+    # Reinhard-like shoulder on the peak channel with a toe
+    p = peak_safe
+    mapped = p * (1.0 + p / 4.0) / (1.0 + p)
+    # desaturate very bright pixels toward white (path-to-white)
+    desat = jnp.clip((mapped - 0.8) / 0.6, 0.0, 1.0) ** 2
+    ratio = ratio + (1.0 - ratio) * desat
+    return jnp.clip(mapped * ratio, 0.0, 1.0)
+
+
+def post_combine(lit, exposure_mult, glare_amount: float = 0.07,
+                 contrast: float = 1.03, glare=None):
+    """Final combine (post_combine.hlsl): glare blend, exposure, contrast,
+    tone map, sRGB. Returns display-ready (H, W, 3) in [0,1]."""
+    if glare is None:
+        glare = glare_pyramid(lit)
+    x = lit * (1.0 - glare_amount) + glare * glare_amount
+    x = x * exposure_mult
+    t = tonemap_filmic(x)
+    # contrast in log space around mid grey
+    t = jnp.clip(0.18 * jnp.power(jnp.maximum(t, 1e-6) / 0.18, contrast), 0.0, 1.0)
+    return srgb_encode(t)

@@ -1,0 +1,145 @@
+"""RTDGI — ray-traced diffuse final gather (half-res) with temporal reuse.
+
+Role of `renderers/rtdgi.rs` + `assets/shaders/rtdgi/*` (ReSTIR GI,
+doc `gi-overview.md:97-177`): trace half-res cosine-hemisphere candidate
+rays, light the hits (hit_lighting.py), reuse temporally via reprojection,
+filter spatially, and resolve to full resolution guided by depth/normal.
+
+This module currently implements the candidate-trace + temporal/spatial
+filter chain; ReSTIR reservoir exchange (restir_temporal/spatial/resolve)
+lands on top in `restir.py` and upgrades the candidate stream in place.
+Output = incident diffuse irradiance / pi ("E/pi"), to be multiplied by the
+diffuse albedo in the deferred combine (light_gbuffer.hlsl convention).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..brdf.sampling import cosine_hemisphere, to_world
+from ..core import img as im
+from ..core import rng as rng_mod
+from .hit_lighting import hit_radiance
+from .reprojection import reproject_image
+from ..rt.trace import trace_closest
+
+RAY_EPS = 1e-4
+
+
+def init_state(h: int, w: int):
+    return {
+        "rtdgi_history": jnp.zeros((h, w, 3), jnp.float32),
+        "rtdgi_hist_len": jnp.zeros((h, w), jnp.float32),
+    }
+
+
+def _half(gb):
+    return {
+        "pos": gb["pos"][::2, ::2],
+        "normal": gb["normal"][::2, ::2],
+        "geo_normal": gb["geo_normal"][::2, ::2],
+        "hit": gb["hit"][::2, ::2],
+        "depth": gb["depth"][::2, ::2],
+    }
+
+
+def trace_candidates(ts, gb_h, frame_idx, sky_env, diffuse_env,
+                     prev_lit=None, prev_depth=None, view=None,
+                     ircache_lookup=None, max_trace_steps=None):
+    """Half-res candidate trace (`trace_diffuse.rgen.hlsl`): one cosine ray
+    per half-res pixel. Returns dict(radiance, ray_dir, ray_t, valid)."""
+    hh, hw = gb_h["hit"].shape
+    px = jnp.arange(hh * hw, dtype=jnp.uint32)
+    rng = rng_mod.pixel_rng(px % jnp.uint32(hw), px // jnp.uint32(hw),
+                            jnp.uint32(frame_idx), stream=23)
+    u1, rng = rng_mod.rand_u01(rng)
+    u2, rng = rng_mod.rand_u01(rng)
+
+    n = gb_h["normal"].reshape(-1, 3)
+    gn = gb_h["geo_normal"].reshape(-1, 3)
+    pos = gb_h["pos"].reshape(-1, 3)
+    wi = to_world(n, cosine_hemisphere(u1, u2))
+    org = pos + gn * RAY_EPS * 8
+
+    hit = trace_closest(ts.bvh, ts.tris, org, wi, t_min=RAY_EPS,
+                        max_steps=max_trace_steps)
+    rad = hit_radiance(ts, hit, wi, sky_env, diffuse_env,
+                       prev_lit=prev_lit, prev_depth=prev_depth, view=view,
+                       ircache_lookup=ircache_lookup,
+                       max_trace_steps=max_trace_steps)
+    valid = gb_h["hit"].reshape(-1)
+    # cosine-weighted estimator of E/pi is simply the sampled radiance
+    return {
+        "radiance": jnp.where(valid[:, None], rad, 0.0).reshape(hh, hw, 3),
+        "ray_dir": wi.reshape(hh, hw, 3),
+        "ray_t": jnp.minimum(hit.t, 1e8).reshape(hh, hw),
+        "valid": valid.reshape(hh, hw),
+    }
+
+
+def _edge_aware_upsample(half_img, gb, near: float = 0.01):
+    """Half->full resolve guided by depth+normal (restir_resolve.hlsl's
+    role, simplified to a joint-bilateral 4-tap gather)."""
+    h, w = gb["depth"].shape
+    uv = im.pixel_uv(h, w)
+    iy, ix, wbl = im.bilinear_weights_and_indices(half_img.shape[:2], uv)
+
+    vz = near / jnp.maximum(gb["depth"], 1e-12)
+    vz_h = near / jnp.maximum(gb["depth"][::2, ::2], 1e-12)
+    n_full = gb["normal"]
+    n_h = gb["normal"][::2, ::2]
+
+    hh, hw = half_img.shape[:2]
+    iy = jnp.clip(iy, 0, hh - 1)
+    ix = jnp.clip(ix, 0, hw - 1)
+    acc = jnp.zeros((h, w, half_img.shape[-1]), jnp.float32)
+    accw = jnp.zeros((h, w), jnp.float32)
+    for k in range(4):
+        y, x, bw = iy[..., k], ix[..., k], wbl[..., k]
+        v = half_img[y, x]
+        zz = vz_h[y, x]
+        nn = n_h[y, x]
+        w_z = jnp.exp(-jnp.abs(zz - vz) / (0.05 * vz + 1e-4))
+        w_n = jnp.maximum(jnp.sum(nn * n_full, axis=-1), 0.0) ** 8
+        wt = bw * w_z * w_n + 1e-6
+        acc = acc + v * wt[..., None]
+        accw = accw + wt
+    return acc / accw[..., None]
+
+
+def rtdgi_pipeline(ts, gb, view, frame_idx, state, reproj, sky_env,
+                   diffuse_env, ssao=None, prev_lit=None, prev_depth=None,
+                   ircache_lookup=None, max_trace_steps=None,
+                   candidates=None):
+    """Full chain -> (diffuse E/pi (H, W, 3), new_state).
+
+    `candidates` lets a ReSTIR stage substitute resampled candidates."""
+    gb_h = _half(gb)
+    if candidates is None:
+        candidates = trace_candidates(
+            ts, gb_h, frame_idx, sky_env, diffuse_env, prev_lit=prev_lit,
+            prev_depth=prev_depth, view=view, ircache_lookup=ircache_lookup,
+            max_trace_steps=max_trace_steps)
+
+    # spatial pre-filter at half res (cheap; the ReSTIR spatial passes'
+    # smoothing role for the non-reservoir path)
+    rad_h = im.separable_blur(candidates["radiance"], im.GAUSS5)
+
+    full = _edge_aware_upsample(rad_h, gb)
+
+    # temporal accumulation at full res (temporal_filter.hlsl)
+    hist = reproject_image(state["rtdgi_history"], reproj)
+    hist_len = reproject_image(state["rtdgi_hist_len"], reproj)
+    hist_len = jnp.minimum(hist_len * reproj["validity"] + 1.0, 24.0)
+    alpha = (1.0 / hist_len)[..., None]
+    out = hist * (1 - alpha) + full * alpha
+
+    # variance clamp against the spatial neighborhood to cut ghosting
+    m1, var = im.local_moments_3x3(full)
+    sigma = jnp.sqrt(jnp.maximum(var, 0.0))
+    out = jnp.clip(out, m1 - sigma * 3.0 - 1e-3, m1 + sigma * 3.0 + 1e-3)
+
+    if ssao is not None:
+        out = out * (0.3 + 0.7 * ssao[..., None])
+
+    new_state = {"rtdgi_history": out, "rtdgi_hist_len": hist_len}
+    return out, new_state

@@ -1,0 +1,111 @@
+"""Sun soft shadows: cone-sampled shadow rays + temporal/spatial denoiser.
+
+Role of `renderers/shadows.rs:10-35` (`trace_sun_shadow_mask.rgen.hlsl`) and
+`renderers/shadow_denoise.rs:20-148` (`shadow_denoise/*`: bitpack -> temporal
+moments "megakernel" -> 3 a-trous spatial passes, steps 1/2/4).
+
+TPU design: the 1-bit mask stays a dense f32 plane (bit-packing saved LDS
+traffic on GPU; on TPU planar f32 keeps the VPU fed and XLA fuses the
+filters). The temporal pass accumulates (mean, m2) moments with reprojection
+validity; the spatial pass is the same depth/normal-guided a-trous with
+variance-scaled luminance weights.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core import img as im
+from ..core import rng as rng_mod
+from ..brdf.sampling import to_world, uniform_cone
+from ..rt.trace import trace_shadow
+from .reprojection import reproject_image
+
+RAY_EPS = 1e-4
+
+
+def trace_sun_shadow_mask(ts, gb, frame_idx, max_trace_steps=None):
+    """(H, W) f32 mask: 1 = lit by the sun, 0 = shadowed. One cone-jittered
+    ray per pixel per frame (the reference's 1.65/px budget includes GI's
+    shadow rays; the primary mask itself is 1/px)."""
+    h, w = gb["depth"].shape
+    px = jnp.arange(h * w, dtype=jnp.uint32)
+    rng = rng_mod.pixel_rng(px % jnp.uint32(w), px // jnp.uint32(w),
+                            jnp.uint32(frame_idx), stream=7)
+    u1, rng = rng_mod.rand_u01(rng)
+    u2, rng = rng_mod.rand_u01(rng)
+    cos_max = jnp.cos(ts.gpu.sun_angular_radius)
+    local = uniform_cone(u1, u2, cos_max)
+    sun_dir = to_world(
+        jnp.broadcast_to(ts.gpu.sun_direction, local.shape), local)
+
+    pos = gb["pos"].reshape(-1, 3)
+    gn = gb["geo_normal"].reshape(-1, 3)
+    n = gb["normal"].reshape(-1, 3)
+    facing = jnp.sum(n * sun_dir, axis=-1) > 0.0
+    need_ray = gb["hit"].reshape(-1) & facing
+    occ = trace_shadow(ts.bvh, ts.tris, pos + gn * RAY_EPS * 8, sun_dir,
+                       t_min=RAY_EPS, max_steps=max_trace_steps)
+    lit = jnp.where(need_ray, (~occ).astype(jnp.float32), 0.0)
+    return lit.reshape(h, w)
+
+
+def init_state(h: int, w: int):
+    """Temporal moments history (the `shadow_denoise` temporal images)."""
+    return {
+        "moments": jnp.zeros((h, w, 2), jnp.float32),   # (mean, mean of squares)
+        "history_len": jnp.zeros((h, w), jnp.float32),
+    }
+
+
+def denoise(mask, state, reproj, gb, near: float = 0.01):
+    """Temporal moments + 3x a-trous. Returns (filtered (H,W), new_state)."""
+    prev = reproject_image(state["moments"], reproj)
+    hist_len = reproject_image(state["history_len"], reproj)
+    hist_len = jnp.minimum(hist_len * reproj["validity"] + 1.0, 32.0)
+    alpha = 1.0 / hist_len
+
+    m1 = prev[..., 0] * (1 - alpha) + mask * alpha
+    m2 = prev[..., 1] * (1 - alpha) + mask * mask * alpha
+    var_t = jnp.maximum(m2 - m1 * m1, 0.0)
+    # fresh pixels: use spatial variance estimate instead
+    _, var_s = im.local_moments_3x3(mask)
+    var = jnp.where(hist_len < 4.0, jnp.maximum(var_t, var_s), var_t)
+
+    filtered = m1
+    vz = near / jnp.maximum(gb["depth"], 1e-12)
+    normal = gb["normal"]
+    for step in (1, 2, 4):           # shadow_denoise.rs:134 step sequence
+        filtered, var = _atrous(filtered, var, vz, normal, step)
+
+    new_state = {
+        "moments": jnp.stack([m1, m2], axis=-1),
+        "history_len": hist_len,
+    }
+    return jnp.clip(filtered, 0.0, 1.0), new_state
+
+
+_ATROUS_W = (1.0, 2.0 / 3.0, 1.0 / 6.0)   # 1D B-spline taps
+
+
+def _atrous(img, var, view_z, normal, step: int):
+    """One edge-aware a-trous step (shadow_denoise/spatial_filter.hlsl)."""
+    sigma_l = jnp.sqrt(jnp.maximum(var, 1e-8)) * 3.0 + 1e-3
+    acc = jnp.zeros_like(img)
+    acc_v = jnp.zeros_like(img)
+    acc_w = jnp.zeros_like(img)
+    for iy, wy in ((-1, _ATROUS_W[1]), (0, _ATROUS_W[0]), (1, _ATROUS_W[1])):
+        for ix, wx in ((-1, _ATROUS_W[1]), (0, _ATROUS_W[0]), (1, _ATROUS_W[1])):
+            dy, dx = iy * step, ix * step
+            v = im.shift2d(img, dy, dx)
+            vv = im.shift2d(var, dy, dx)
+            z = im.shift2d(view_z, dy, dx)
+            nn = im.shift2d(normal, dy, dx)
+            w_z = jnp.exp(-jnp.abs(z - view_z) / (0.1 * view_z + 1e-4))
+            w_n = jnp.maximum(jnp.sum(nn * normal, axis=-1), 0.0) ** 8
+            w_l = jnp.exp(-jnp.abs(v - img) / sigma_l)
+            w = wy * wx * w_z * w_n * w_l
+            acc = acc + v * w
+            acc_v = acc_v + vv * w * w
+            acc_w = acc_w + w
+    inv = 1.0 / jnp.maximum(acc_w, 1e-8)
+    return acc * inv, acc_v * inv * inv

@@ -1,0 +1,90 @@
+"""SSGI/SSAO: half-res screen-space ambient occlusion (GTAO flavor).
+
+Role of `renderers/ssgi.rs` + `assets/shaders/ssgi/ssgi.hlsl`: half-res AO
+from depth+normal, then spatial filter -> upsample -> temporal filter. As in
+the reference it does NOT darken final lighting; it guides GI kernel sizes
+and sample weighting (doc `gi-overview.md:368`).
+
+TPU design: horizon sampling along 4 jittered directions with fixed step
+counts — all static-shape gathers on a half-res lattice.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core import img as im
+from ..core import rng as rng_mod
+from ..core.camera import ViewConstants
+from .reprojection import reproject_image
+
+_N_DIRS = 4
+_N_STEPS = 4
+_RADIUS_PX = 24.0
+
+
+def ssao_half(gb, view: ViewConstants, frame_idx, near: float = 0.01):
+    """Half-res AO in [0,1]. Returns (h/2, w/2) f32."""
+    h, w = gb["depth"].shape
+    hh, hw = h // 2, w // 2
+    depth_h = im.downsample_nearest(gb["depth"])
+    normal_h = gb["normal"][::2, ::2]
+    hit_h = gb["hit"][::2, ::2]
+    vz = near / jnp.maximum(depth_h, 1e-12)
+
+    uv = im.pixel_uv(hh, hw)
+    # view-space position of each half-res pixel
+    ndc = jnp.stack([uv[..., 0] * 2 - 1, 1 - uv[..., 1] * 2], axis=-1)
+    c2v = view.clip_to_view
+    # reversed-inf-Z: view pos = vz * ray through pixel
+    vdir = jnp.einsum("ij,hwj->hwi", c2v[:3, :2], ndc) + c2v[:3, 2] + c2v[:3, 3]
+    # normalize so that -z == 1
+    vdir = vdir / jnp.maximum(-vdir[..., 2:3], 1e-8)
+    vpos = vdir * vz[..., None]
+    vnorm = jnp.einsum("ij,hwj->hwi", view.world_to_view[:3, :3], normal_h)
+
+    px = jnp.arange(hh * hw, dtype=jnp.uint32).reshape(hh, hw)
+    rng = rng_mod.pixel_rng(px % jnp.uint32(hw), px // jnp.uint32(hw),
+                            jnp.uint32(frame_idx), stream=11)
+    u_rot, rng = rng_mod.rand_u01(rng)
+
+    ao = jnp.zeros((hh, hw), jnp.float32)
+    radius_uv = _RADIUS_PX / jnp.float32(hw)
+    for d in range(_N_DIRS):
+        ang = (d + u_rot) * (jnp.pi / _N_DIRS)
+        dir2 = jnp.stack([jnp.cos(ang), jnp.sin(ang)], axis=-1)
+        max_horizon = jnp.zeros((hh, hw), jnp.float32)
+        for s in range(1, _N_STEPS + 1):
+            r = radius_uv * (s / _N_STEPS) ** 1.5
+            suv = uv + dir2 * r[..., None] if dir2.ndim == 3 else uv + dir2 * r
+            s_vz = near / jnp.maximum(im.sample_nearest(depth_h, suv), 1e-12)
+            s_ndc = jnp.stack([suv[..., 0] * 2 - 1, 1 - suv[..., 1] * 2], -1)
+            s_vdir = (jnp.einsum("ij,hwj->hwi", c2v[:3, :2], s_ndc)
+                      + c2v[:3, 2] + c2v[:3, 3])
+            s_vdir = s_vdir / jnp.maximum(-s_vdir[..., 2:3], 1e-8)
+            s_vpos = s_vdir * s_vz[..., None]
+            delta = s_vpos - vpos
+            dist = jnp.linalg.norm(delta, axis=-1)
+            cos_h = jnp.sum(delta * vnorm, axis=-1) / jnp.maximum(dist, 1e-6)
+            # distance falloff keeps far geometry from occluding
+            falloff = jnp.clip(1.0 - dist / (vz * 0.3 + 0.3), 0.0, 1.0)
+            max_horizon = jnp.maximum(max_horizon, jnp.maximum(cos_h, 0.0) * falloff)
+        ao = ao + max_horizon
+    ao = 1.0 - ao / _N_DIRS
+    return jnp.where(hit_h, jnp.clip(ao, 0.0, 1.0), 1.0)
+
+
+def init_state(h: int, w: int):
+    return {"ssao_history": jnp.ones((h, w), jnp.float32)}
+
+
+def ssao_pipeline(gb, view, frame_idx, state, reproj, near: float = 0.01):
+    """ssao -> spatial (half) -> upsample -> temporal. Returns (ao (H,W), state)."""
+    h, w = gb["depth"].shape
+    ao_h = ssao_half(gb, view, frame_idx, near)
+    ao_h = im.separable_blur(ao_h, im.GAUSS5)          # ssgi/spatial_filter.hlsl
+    ao = im.upsample_bilinear(ao_h, h, w)              # ssgi/upsample.hlsl
+    prev = reproject_image(state["ssao_history"],
+                           reproj, fallback=ao)        # ssgi/temporal_filter.hlsl
+    out = prev * 0.85 + ao * 0.15
+    out = jnp.where(gb["hit"], out, 1.0)
+    return out, {"ssao_history": out}

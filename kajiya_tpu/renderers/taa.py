@@ -1,0 +1,76 @@
+"""Temporal anti-aliasing / super-resolution.
+
+Role of `renderers/taa.rs:41-192` + `assets/shaders/taa/*` (reproject history,
+filter input + deviation, filter history, input probability, final resolve)
+and of the upsampling configured via `temporal_upsampling`
+(`main_loop.rs:153-159`): render at (H, W), accumulate at (Ho, Wo) >= (H, W).
+
+TPU design: one fused elementwise/gather pass chain — history is reprojected
+with bilinear taps, the new input is variance-clamped in a YCbCr-ish space
+against the 3x3 neighborhood (soft clamp, cf. `inc/soft_color_clamp.hlsl`),
+and the blend factor follows history validity and velocity magnitude.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core import img as im
+from ..core.color import lin_to_ycbcr, ycbcr_to_lin
+
+
+def init_state(out_h: int, out_w: int):
+    return {
+        "taa_history": jnp.zeros((out_h, out_w, 3), jnp.float32),
+        "taa_valid": jnp.zeros((out_h, out_w), jnp.float32),
+    }
+
+
+def taa(input_img, state, reproj, jitter_px, out_h: int, out_w: int):
+    """input_img: (H, W, 3) lit radiance at render res. Returns
+    ((out_h, out_w, 3) antialiased, new_state)."""
+    h, w = input_img.shape[:2]
+    uv_out = im.pixel_uv(out_h, out_w)
+
+    # --- fetch input at output res, compensating the sub-pixel jitter
+    # (taa.hlsl samples input with the jitter removed)
+    jitter_uv = jnp.stack([jitter_px[0] / w, jitter_px[1] / h])
+    input_up = im.sample_bilinear(input_img, uv_out - jitter_uv)
+
+    # --- reproject history through the velocity of the closest surface
+    prev_uv = im.sample_bilinear(reproj["prev_uv"], uv_out)
+    validity = im.sample_bilinear(reproj["validity"], uv_out)
+    history = im.sample_bilinear(state["taa_history"], prev_uv)
+    hist_valid = im.sample_bilinear(state["taa_valid"], prev_uv) * validity
+
+    # --- neighborhood statistics of the input in YCbCr (filter_input pass)
+    inp_ycc = lin_to_ycbcr(input_img)
+    m1, var = im.local_moments_3x3(inp_ycc)
+    m1_up = im.sample_bilinear(m1, uv_out - jitter_uv)
+    var_up = jnp.maximum(im.sample_bilinear(var, uv_out - jitter_uv), 0.0)
+    sigma = jnp.sqrt(var_up)
+
+    # --- soft clamp history toward the input neighborhood box
+    hist_ycc = lin_to_ycbcr(history)
+    n_dev = 2.4
+    lo = m1_up - sigma * n_dev
+    hi = m1_up + sigma * n_dev
+    clamped = jnp.clip(hist_ycc, lo, hi)
+    # soft: move only part of the way for mild excursions (soft_color_clamp)
+    hist_ycc = hist_ycc + (clamped - hist_ycc) * 0.75
+    history_c = ycbcr_to_lin(hist_ycc)
+
+    # --- blend factor: long history -> small alpha; invalid -> take input
+    vel = prev_uv - uv_out
+    speed = jnp.linalg.norm(vel * jnp.array([w, h], jnp.float32), axis=-1)
+    base_alpha = 1.0 / 8.0
+    alpha = base_alpha + jnp.clip(speed * 0.05, 0.0, 0.5)
+    alpha = jnp.where(hist_valid > 0.5, alpha, 1.0)[..., None]
+
+    out = history_c + (input_up - history_c) * alpha
+    out = jnp.maximum(out, 0.0)
+
+    new_state = {
+        "taa_history": out,
+        "taa_valid": jnp.ones((out_h, out_w), jnp.float32),
+    }
+    return out, new_state
