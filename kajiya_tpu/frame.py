@@ -26,7 +26,8 @@ import jax.numpy as jnp
 
 from .core import rng as rng_mod
 from .core.camera import ViewConstants
-from .renderers import deferred, gbuffer, post, reprojection, rtdgi, rtr, shadows, ssgi, taa
+from .renderers import deferred, gbuffer, ircache, post, reprojection, rtdgi, rtr, shadows, ssgi, taa
+from .renderers.ircache import IrcacheConfig
 from .sky import env as sky_env_mod
 from .world import refresh_trace_scene
 
@@ -46,6 +47,8 @@ class RenderConfig:
     use_rtr: bool = True
     use_ssao: bool = True
     use_taa: bool = True
+    use_ircache: bool = True
+    ircache: IrcacheConfig = IrcacheConfig()
     debug_mode: str = "none"             # deferred.DEBUG_MODES
     ev_shift: float = 0.0
     dt: float = 1.0 / 60.0
@@ -89,6 +92,8 @@ def init_frame_state(cfg: RenderConfig):
     state.update(rtr.init_state(h, w))
     state.update(taa.init_state(oh, ow))
     state.update(post.init_exposure_state())
+    if cfg.use_ircache:
+        state.update(ircache.init_state(cfg.ircache))
     return state
 
 
@@ -117,6 +122,26 @@ def render_frame(ts, state, view: ViewConstants, cfg: RenderConfig,
     # --- reprojection map
     reproj = reprojection.calculate_reprojection_map(
         gb, state["prev_depth"], view, near=cfg.near)
+
+    # --- irradiance cache: allocate from quarter-res surface query points,
+    # trace per-entry rays, expose the lookup to every downstream pass
+    # (ircache prepare/trace/sum block of the reference DAG)
+    ir_state = {k: v for k, v in state.items() if k.startswith("ircache_")}
+    if cfg.use_ircache and ircache_lookup is None:
+        eye = view.eye_position
+        q_pos = gb["pos"][::4, ::4].reshape(-1, 3)
+        q_mask = gb["hit"][::4, ::4].reshape(-1)
+        grid0 = ircache.build_grid(ir_state, eye, cfg.ircache)
+        ir_state = ircache.allocate(ir_state, grid0, q_pos, q_mask, eye,
+                                    frame_idx, cfg.ircache)
+        ir_state = ircache.trace_update(
+            ir_state, ts, sky_env, diffuse_env, eye, frame_idx, cfg.ircache,
+            max_trace_steps=mts)
+        ir_grid = ircache.build_grid(ir_state, eye, cfg.ircache)
+
+        def ircache_lookup(p, n, _st=ir_state, _g=ir_grid, _e=eye):
+            return ircache.lookup_irradiance(_st, _g, p, n, _e, diffuse_env,
+                                             cfg.ircache)
 
     # --- ssao
     if cfg.use_ssao:
@@ -203,7 +228,7 @@ def render_frame(ts, state, view: ViewConstants, cfg: RenderConfig,
         "prev_depth": gb["depth"],
         "prev_lit": lit,
         **shadow_state, **ssgi_state, **rtdgi_state, **rtr_state,
-        **taa_state, **exp_state,
+        **taa_state, **exp_state, **ir_state,
     }
     outputs = {
         "final": final, "lit": lit, "gbuffer": gb, "shadow": shadow,

@@ -1,0 +1,280 @@
+"""Irradiance cache: temporally-recurrent volumetric radiance cache.
+
+Role of `renderers/ircache.rs` + `assets/shaders/ircache/*` (doc
+`gi-overview.md:208-300`): an eye-centered multi-cascade clipmap of sparse
+irradiance probe entries, allocated output-sensitively from query points,
+each tracing a few rays per frame and feeding every GI pass with
+"infinite bounce" ambient light (the cache reads ITSELF from the previous
+frame at its own ray hits).
+
+TPU-first redesign of the GPU machinery:
+  * the reference's scroll + age + prefix-scan + compact pipeline
+    (`ircache.rs:168-506`) collapses into a few dense array ops: entries
+    carry WORLD positions; the cell <- entry indirection grid is rebuilt
+    every frame by one scatter (so "scrolling" is free — entries that fall
+    out of their cascade simply stop being scattered and expire);
+  * allocation = scatter query cells -> dedup winners -> `jnp.cumsum`
+    prefix-scan compaction onto the free-slot list (the reference's explicit
+    3-dispatch GPU scan, `prefix_scan.rs:10-39`, is literally one cumsum);
+  * per-entry irradiance is stored as L1 spherical harmonics (RGB x 4
+    coeffs, cf. `sum_up_irradiance.hlsl`), blended with temporal hysteresis.
+
+Entries/budgets follow the reference scale: MAX_ENTRIES = 64Ki capacity with
+a few-Ki active set, 4 rays traced per entry per frame (`ircache.rs:30-36`).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from ..brdf.sampling import uniform_sphere
+from ..core import rng as rng_mod
+
+# SH basis constants
+_Y00 = 0.28209479
+_Y1 = 0.48860251
+
+
+@dataclass(frozen=True)
+class IrcacheConfig:
+    """Static configuration (shapes!). Defaults sized for interactive scenes;
+    the reference uses 12 cascades x 32^3 and 64Ki entries."""
+
+    cascades: int = 4
+    grid_res: int = 32          # cells per cascade side
+    max_entries: int = 16384
+    rays_per_entry: int = 4     # `ircache.rs:35` IRCACHE_SAMPLES_PER_FRAME
+    base_cell_size: float = 0.25
+    expire_frames: int = 60     # unseen-for-N-frames entries are recycled
+    hysteresis_frames: float = 32.0
+
+
+def init_state(cfg: IrcacheConfig):
+    e = cfg.max_entries
+    return {
+        "ircache_pos": jnp.zeros((e, 3), jnp.float32),
+        "ircache_sh": jnp.zeros((e, 3, 4), jnp.float32),   # RGB x (Y00,Y1-1,Y10,Y11)
+        "ircache_life": jnp.zeros((e,), jnp.float32),      # frames of history
+        "ircache_seen": jnp.full((e,), -(10 ** 6), jnp.int32),  # last-query frame
+        "ircache_valid": jnp.zeros((e,), bool),
+    }
+
+
+# ----------------------------------------------------------------------------
+# Cell math
+# ----------------------------------------------------------------------------
+
+def _cascade_of(pos, eye, cfg):
+    """Finest cascade whose clipmap (centered at eye) contains pos.
+    Returns (cascade (..., int32), in_range (...,) bool)."""
+    half_extent0 = cfg.base_cell_size * cfg.grid_res * 0.5
+    d = jnp.max(jnp.abs(pos - eye), axis=-1)
+    # cascade c covers |d| < half_extent0 * 2^c
+    c = jnp.ceil(jnp.log2(jnp.maximum(d / half_extent0, 1e-6)))
+    c = jnp.clip(c, 0, cfg.cascades - 1).astype(jnp.int32)
+    in_range = d < half_extent0 * (2.0 ** (cfg.cascades - 1))
+    return c, in_range
+
+
+def _cell_of(pos, eye, cascade, cfg):
+    """Integer cell coords within the cascade grid + flat grid index."""
+    cell_size = cfg.base_cell_size * (2.0 ** cascade.astype(jnp.float32))
+    origin_cell = jnp.floor(eye / cell_size[..., None]).astype(jnp.int32)
+    cell = jnp.floor(pos / cell_size[..., None]).astype(jnp.int32)
+    rel = cell - origin_cell + cfg.grid_res // 2
+    ok = jnp.all((rel >= 0) & (rel < cfg.grid_res), axis=-1)
+    rel = jnp.clip(rel, 0, cfg.grid_res - 1)
+    g = cfg.grid_res
+    flat = (cascade * g * g * g + rel[..., 0] * g * g + rel[..., 1] * g
+            + rel[..., 2])
+    return flat, ok, cell_size
+
+
+def _entry_cells(state, eye, cfg):
+    cas, in_range = _cascade_of(state["ircache_pos"], eye, cfg)
+    flat, ok, _ = _cell_of(state["ircache_pos"], eye, cas, cfg)
+    live = state["ircache_valid"] & in_range & ok
+    return flat, live
+
+
+def build_grid(state, eye, cfg: IrcacheConfig):
+    """(C*G^3,) int32 entry index per cell, -1 = empty. One scatter — the
+    re-designed 'scroll cascades' + indirection build."""
+    flat, live = _entry_cells(state, eye, cfg)
+    n_cells = cfg.cascades * cfg.grid_res ** 3
+    grid = jnp.full((n_cells,), -1, jnp.int32)
+    ids = jnp.arange(cfg.max_entries, dtype=jnp.int32)
+    return grid.at[jnp.where(live, flat, 0)].max(
+        jnp.where(live, ids, -1), mode="promise_in_bounds")
+
+
+# ----------------------------------------------------------------------------
+# Allocation (age -> scan -> compact, re-designed)
+# ----------------------------------------------------------------------------
+
+def allocate(state, grid, query_pos, query_mask, eye, frame_idx,
+             cfg: IrcacheConfig):
+    """Allocate entries for query cells that lack one; touch existing ones.
+
+    query_pos: (Q, 3) surface points wanting GI (the reference allocates from
+    rtdgi/rtr hit points, `gi-overview.md:208-240`). Returns new state.
+    """
+    cas, in_range = _cascade_of(query_pos, eye, cfg)
+    flat, ok, cell_size = _cell_of(query_pos, eye, cas, cfg)
+    valid_q = query_mask & in_range & ok
+    n_cells = cfg.cascades * cfg.grid_res ** 3
+
+    fi = jnp.asarray(frame_idx, jnp.int32)
+    existing = grid[flat]                       # (Q,) entry id or -1
+    # --- touch: update last-seen for queried entries (masked scatter-max)
+    touch = valid_q & (existing >= 0)
+    seen = state["ircache_seen"].at[jnp.where(touch, existing, 0)].max(
+        jnp.where(touch, fi, -(10 ** 6)), mode="promise_in_bounds")
+
+    # --- requests: one winner query per empty cell (scatter-max dedup)
+    wants = valid_q & (existing < 0)
+    qid = jnp.arange(query_pos.shape[0], dtype=jnp.int32)
+    req_grid = jnp.full((n_cells,), -1, jnp.int32)
+    req_grid = req_grid.at[jnp.where(wants, flat, 0)].max(
+        jnp.where(wants, qid, -1), mode="promise_in_bounds")
+    is_winner = wants & (req_grid[flat] == qid)
+
+    # --- free slots: invalid or expired entries
+    expired = (fi - seen) > cfg.expire_frames
+    free = (~state["ircache_valid"]) | expired
+    # prefix-scan compaction ranks (one jnp.cumsum = the reference's
+    # 3-dispatch GPU prefix scan)
+    free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1          # (E,)
+    win_rank = jnp.cumsum(is_winner.astype(jnp.int32)) - 1      # (Q,)
+    n_free = free_rank[-1] + 1
+
+    # match winner k with the k-th free slot via an inverse map:
+    # rank -> winning query id (unique indices; deterministic scatter)
+    rank_to_q = jnp.full((cfg.max_entries,), -1, jnp.int32)
+    w_ok = is_winner & (win_rank < cfg.max_entries)
+    rank_to_q = rank_to_q.at[jnp.where(w_ok, win_rank, 0)].max(
+        jnp.where(w_ok, qid, -1), mode="promise_in_bounds")
+
+    # per-slot source query: slot is free AND its free-rank has a winner
+    src_q = jnp.where(free, rank_to_q[jnp.clip(free_rank, 0, cfg.max_entries - 1)],
+                      -1)                                        # (E,)
+    writes = src_q >= 0
+    sq = jnp.maximum(src_q, 0)
+
+    # seed the probe AT the query point (the reference converges entries onto
+    # geometry via ranked voting; seeding on-surface starts there directly)
+    pos = jnp.where(writes[:, None], query_pos[sq], state["ircache_pos"])
+    sh = jnp.where(writes[:, None, None], 0.0, state["ircache_sh"])
+    life = jnp.where(writes, 0.0, state["ircache_life"])
+    seen = jnp.where(writes, fi, seen)
+    valid = jnp.where(writes, True, state["ircache_valid"] & ~expired)
+
+    return {
+        "ircache_pos": pos, "ircache_sh": sh, "ircache_life": life,
+        "ircache_seen": seen, "ircache_valid": valid,
+    }
+
+
+# ----------------------------------------------------------------------------
+# Trace + SH update
+# ----------------------------------------------------------------------------
+
+def trace_update(state, ts, sky_env, diffuse_env, eye, frame_idx,
+                 cfg: IrcacheConfig, max_trace_steps=None):
+    """Trace rays_per_entry uniform-sphere rays per live entry and blend the
+    SH estimate ('trace irradiance' + 'sum up irradiance' passes).
+
+    The hit lighting's ambient term reads the CURRENT cache arrays (i.e. last
+    frame's irradiance) — the temporal recurrence that makes bounces
+    infinite, `gi-overview.md:208-230`."""
+    from .hit_lighting import hit_radiance
+    from ..rt.trace import trace_closest
+
+    e, s = cfg.max_entries, cfg.rays_per_entry
+    pos = state["ircache_pos"]
+    live = state["ircache_valid"]
+
+    eid = jnp.arange(e, dtype=jnp.uint32)
+
+    # one flat wavefront of E*S rays (static shape; dead lanes masked)
+    rngs = rng_mod.hash3(jnp.repeat(eid, s),
+                         jnp.uint32(frame_idx),
+                         jnp.tile(jnp.arange(s, dtype=jnp.uint32), e))
+    u1, rngs = rng_mod.rand_u01(rngs)
+    u2, rngs = rng_mod.rand_u01(rngs)
+    d = uniform_sphere(u1, u2)                       # (E*S, 3)
+    o = jnp.repeat(pos, s, axis=0) + d * 1e-3
+    live_r = jnp.repeat(live, s)
+
+    hit = trace_closest(ts.bvh, ts.tris, o, d, t_min=1e-4,
+                        max_steps=max_trace_steps)
+
+    # ambient at the hit comes from the cache itself (previous frame's SH)
+    grid = build_grid(state, eye, cfg)
+
+    def cache_lookup(p, n):
+        return lookup_irradiance(state, grid, p, n, eye, diffuse_env, cfg)
+
+    rad = hit_radiance(ts, hit, d, sky_env, diffuse_env,
+                       ircache_lookup=cache_lookup,
+                       max_trace_steps=max_trace_steps)
+    rad = jnp.where(live_r[:, None], rad, 0.0)
+
+    # project onto SH: L_lm = (4pi / S) * sum radiance * Y_lm(d)
+    y = jnp.stack([jnp.full_like(d[:, 0], _Y00),
+                   _Y1 * d[:, 1], _Y1 * d[:, 2], _Y1 * d[:, 0]], axis=-1)
+    contrib = rad[:, :, None] * y[:, None, :]        # (E*S, 3, 4)
+    sh_new = contrib.reshape(e, s, 3, 4).sum(axis=1) * (4.0 * jnp.pi / s)
+
+    life = jnp.where(live, jnp.minimum(state["ircache_life"] + 1.0,
+                                       cfg.hysteresis_frames), 0.0)
+    alpha = (1.0 / jnp.maximum(life, 1.0))[:, None, None]
+    sh = state["ircache_sh"] * (1 - alpha) + sh_new * alpha
+    sh = jnp.where(live[:, None, None], sh, 0.0)
+
+    out = dict(state)
+    out["ircache_sh"] = sh
+    out["ircache_life"] = life
+    return out
+
+
+def _eye_hack():
+    return jnp.zeros((3,), jnp.float32)
+
+
+# ----------------------------------------------------------------------------
+# Lookup
+# ----------------------------------------------------------------------------
+
+def lookup_irradiance(state, grid, pos, normal, eye, diffuse_env,
+                      cfg: IrcacheConfig):
+    """E(n)/pi at world positions. Falls back to the convolved sky where no
+    entry exists (young entries are blended in by history length)."""
+    from ..sky.env import sample_env
+
+    if grid is None:
+        grid = build_grid(state, eye, cfg)
+    cas, in_range = _cascade_of(pos, eye, cfg)
+    flat, ok, _ = _cell_of(pos, eye, cas, cfg)
+    entry = jnp.where(in_range & ok, grid[flat], -1)
+    has = entry >= 0
+    se = jnp.maximum(entry, 0)
+
+    sh = state["ircache_sh"][se]                     # (..., 3, 4)
+    n = normal
+    basis = jnp.stack([jnp.full_like(n[..., 0], _Y00),
+                       _Y1 * n[..., 1], _Y1 * n[..., 2], _Y1 * n[..., 0]],
+                      axis=-1)
+    # E(n)/pi = L00 Y00 + (2/3) sum L1m Y1m(n)
+    w = jnp.concatenate([jnp.ones_like(basis[..., :1]),
+                         jnp.full_like(basis[..., 1:], 2.0 / 3.0)], axis=-1)
+    e_over_pi = jnp.maximum(
+        jnp.einsum("...ck,...k->...c", sh, basis * w), 0.0)
+
+    # young entries: blend toward sky fallback by confidence
+    conf = jnp.clip(state["ircache_life"][se] / 4.0, 0.0, 1.0)[..., None]
+    fallback = sample_env(diffuse_env, n)
+    return jnp.where(has[..., None], e_over_pi * conf + fallback * (1 - conf),
+                     fallback)
