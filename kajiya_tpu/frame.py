@@ -48,6 +48,9 @@ class RenderConfig:
     use_ssao: bool = True
     use_taa: bool = True
     use_ircache: bool = True
+    use_restir_gi: bool = True
+    use_motion_blur: bool = True
+    motion_blur_scale: float = 0.5
     ircache: IrcacheConfig = IrcacheConfig()
     debug_mode: str = "none"             # deferred.DEBUG_MODES
     ev_shift: float = 0.0
@@ -94,6 +97,10 @@ def init_frame_state(cfg: RenderConfig):
     state.update(post.init_exposure_state())
     if cfg.use_ircache:
         state.update(ircache.init_state(cfg.ircache))
+    if cfg.use_rtdgi and cfg.use_restir_gi:
+        from .renderers import restir_gi
+
+        state.update(restir_gi.init_state(h, w))
     return state
 
 
@@ -166,14 +173,18 @@ def render_frame(ts, state, view: ViewConstants, cfg: RenderConfig,
                         "history_len": state["history_len"]}
 
     # --- diffuse GI
+    restir_state = {k: v for k, v in state.items() if k.startswith("gi_res_")}
     if cfg.use_rtdgi:
-        dgi, rtdgi_state = rtdgi.rtdgi_pipeline(
+        dgi, rtdgi_state, restir_state = rtdgi.rtdgi_pipeline(
             ts, gb, view, frame_idx,
             {"rtdgi_history": state["rtdgi_history"],
              "rtdgi_hist_len": state["rtdgi_hist_len"]},
             reproj, sky_env, diffuse_env, ssao=ao,
             prev_lit=state["prev_lit"], prev_depth=state["prev_depth"],
-            ircache_lookup=ircache_lookup, max_trace_steps=mts)
+            ircache_lookup=ircache_lookup, max_trace_steps=mts,
+            use_restir=cfg.use_restir_gi,
+            restir_state=restir_state if cfg.use_restir_gi else None)
+        restir_state = restir_state or {}
     else:
         dgi = sky_env_mod.sample_env(diffuse_env, gb["normal"].reshape(-1, 3)
                                      ).reshape(h, w, 3) * ao[..., None]
@@ -217,6 +228,21 @@ def render_frame(ts, state, view: ViewConstants, cfg: RenderConfig,
         taa_state = {"taa_history": state["taa_history"],
                      "taa_valid": state["taa_valid"]}
 
+    # --- motion blur (taa -> motion blur -> post, world_render_passes order)
+    if cfg.use_motion_blur:
+        from .renderers import motion_blur as mb
+
+        vel_out = gb["velocity"]
+        depth_for_mb = gb["depth"]
+        if aa.shape[:2] != gb["depth"].shape:
+            from .core import img as _im
+
+            vel_out = _im.upsample_bilinear(vel_out, aa.shape[0], aa.shape[1])
+            depth_for_mb = _im.upsample_bilinear(gb["depth"], aa.shape[0],
+                                                 aa.shape[1])
+        aa = mb.motion_blur(aa, vel_out, depth_for_mb,
+                            frame_fraction=cfg.motion_blur_scale)
+
     # --- post: exposure + glare + tonemap
     exposure, exp_state = post.update_exposure(
         {"smoothed_ev": state["smoothed_ev"]}, lit,
@@ -228,7 +254,7 @@ def render_frame(ts, state, view: ViewConstants, cfg: RenderConfig,
         "prev_depth": gb["depth"],
         "prev_lit": lit,
         **shadow_state, **ssgi_state, **rtdgi_state, **rtr_state,
-        **taa_state, **exp_state, **ir_state,
+        **taa_state, **exp_state, **ir_state, **restir_state,
     }
     outputs = {
         "final": final, "lit": lit, "gbuffer": gb, "shadow": shadow,
@@ -240,6 +266,53 @@ def render_frame(ts, state, view: ViewConstants, cfg: RenderConfig,
 
 def _reflect(d, n):
     return d - 2.0 * jnp.sum(d * n, axis=-1, keepdims=True) * n
+
+
+# ----------------------------------------------------------------------------
+# Reference path-tracing mode (render mode Standard | Reference,
+# `world_renderer.rs:288-292`, `world_render_passes.rs:294-330`)
+# ----------------------------------------------------------------------------
+
+def init_reference_state(cfg: RenderConfig):
+    """The `refpt.accum` temporal image + sample counter + exposure."""
+    return {
+        "refpt_accum": jnp.zeros((cfg.height, cfg.width, 3), jnp.float32),
+        "refpt_samples": jnp.asarray(0.0, jnp.float32),
+        "smoothed_ev": jnp.asarray(0.0, jnp.float32),
+    }
+
+
+def render_frame_reference(ts, state, view: ViewConstants, cfg: RenderConfig,
+                           levels=None, num_bounces: int = 16,
+                           spp_per_frame: int = 1, max_spp: float = 1000.0):
+    """One progressive reference-PT frame: trace spp_per_frame paths/pixel,
+    blend into the accumulator (up to max_spp, as the reference's 1000-spp
+    cap), then run the same post chain. Returns (new_state, outputs)."""
+    from .renderers import reference as refpt
+
+    if levels is not None:
+        ts = refresh_trace_scene(ts.gpu, ts.bvh, levels)
+
+    frame_radiance = refpt.render_sample(
+        ts, view, cfg.width, cfg.height,
+        frame_idx=state["refpt_samples"].astype(jnp.int32),
+        spp_chunk=spp_per_frame, num_bounces=num_bounces,
+        max_trace_steps=cfg.max_trace_steps)
+
+    n = jnp.minimum(state["refpt_samples"], max_spp)
+    accum = state["refpt_accum"] + (frame_radiance - state["refpt_accum"]) / (n + 1.0)
+
+    exposure, exp_state = post.update_exposure(
+        {"smoothed_ev": state["smoothed_ev"]}, accum, dt=cfg.dt,
+        ev_shift=cfg.ev_shift)
+    final = post.post_combine(accum, exposure)
+
+    new_state = {
+        "refpt_accum": accum,
+        "refpt_samples": n + 1.0,
+        **exp_state,
+    }
+    return new_state, {"final": final, "lit": accum, "exposure": exposure}
 
 
 class Renderer:

@@ -18,7 +18,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..core.camera import ViewConstants, camera_rays
-from ..rt.trace import trace_closest
+from ..rt.trace import scene_trace_closest
 from ..world import TraceScene, hit_attributes
 
 
@@ -38,7 +38,7 @@ def raytrace_gbuffer(ts: TraceScene, view: ViewConstants, width: int, height: in
     org, d = camera_rays(view, width, height)
     orgf = org.reshape(-1, 3)
     df = d.reshape(-1, 3)
-    hit = trace_closest(ts.bvh, ts.tris, orgf, df, max_steps=max_trace_steps)
+    hit = scene_trace_closest(ts, orgf, df, max_steps=max_trace_steps)
     attrs = hit_attributes(ts, hit, df)
 
     m = hit.hit_mask

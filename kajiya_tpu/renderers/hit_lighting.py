@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 from ..brdf import ggx
 from ..core import img as im
-from ..rt.trace import trace_shadow
+from ..rt.trace import scene_trace_shadow
 from ..sky.env import sample_env
 from ..world import hit_attributes
 
@@ -43,13 +43,14 @@ def hit_radiance(ts, hit, ray_dir, sky_env, diffuse_env,
     supplies "infinite bounce" ambient; falls back to the convolved sky.
     """
     m = hit.hit_mask
-    attrs = hit_attributes(ts, hit, ray_dir)
+    # secondary rays sample a coarser texture mip (ray-cone LOD stand-in)
+    attrs = hit_attributes(ts, hit, ray_dir, mip=2)
     pos, n = attrs["pos"], attrs["normal"]
 
     # --- sun direct at the hit (one shadow ray; the reference's 1 shadow/px)
     sun_dir = jnp.broadcast_to(ts.gpu.sun_direction, pos.shape)
     cos_s = jnp.maximum(jnp.sum(n * sun_dir, axis=-1), 0.0)
-    occ = trace_shadow(ts.bvh, ts.tris, pos + attrs["geo_normal"] * RAY_EPS * 8,
+    occ = scene_trace_shadow(ts, pos + attrs["geo_normal"] * RAY_EPS * 8,
                        sun_dir, t_min=RAY_EPS, max_steps=max_trace_steps)
     sun_vis = jnp.where(m & ~occ, cos_s, 0.0)
     albedo, _f0 = ggx.derive_lobes(attrs["base_color"], attrs["metallic"])

@@ -190,7 +190,7 @@ def trace_update(state, ts, sky_env, diffuse_env, eye, frame_idx,
     frame's irradiance) — the temporal recurrence that makes bounces
     infinite, `gi-overview.md:208-230`."""
     from .hit_lighting import hit_radiance
-    from ..rt.trace import trace_closest
+    from ..rt.trace import scene_trace_closest
 
     e, s = cfg.max_entries, cfg.rays_per_entry
     pos = state["ircache_pos"]
@@ -208,7 +208,7 @@ def trace_update(state, ts, sky_env, diffuse_env, eye, frame_idx,
     o = jnp.repeat(pos, s, axis=0) + d * 1e-3
     live_r = jnp.repeat(live, s)
 
-    hit = trace_closest(ts.bvh, ts.tris, o, d, t_min=1e-4,
+    hit = scene_trace_closest(ts, o, d, t_min=1e-4,
                         max_steps=max_trace_steps)
 
     # ambient at the hit comes from the cache itself (previous frame's SH)

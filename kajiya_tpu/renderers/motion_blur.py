@@ -1,0 +1,68 @@
+"""Motion blur: velocity tile reduce -> dilate -> gather blur.
+
+Role of `renderers/motion_blur.rs:5-72` + the Rust-GPU kernels
+(`rust-shaders/src/motion_blur.rs`): per-16px-tile max velocity, 3x3 tile
+dilation, then a gather blur along the dominant velocity (McGuire-style).
+All static-shape stencil/gather work on the VPU.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core import img as im
+
+TILE = 16
+N_TAPS = 8
+
+
+def _tile_reduce_max(vel, tile: int):
+    """(H, W, 2) -> (H/t, W/t, 2): velocity of max magnitude per tile
+    (velocity_reduce_x/_y passes)."""
+    h, w = vel.shape[:2]
+    ht, wt = h // tile, w // tile
+    v = vel[:ht * tile, :wt * tile].reshape(ht, tile, wt, tile, 2)
+    mag = jnp.linalg.norm(v, axis=-1)
+    flat = v.transpose(0, 2, 1, 3, 4).reshape(ht, wt, tile * tile, 2)
+    magf = mag.transpose(0, 2, 1, 3).reshape(ht, wt, tile * tile)
+    idx = jnp.argmax(magf, axis=-1)
+    iy = jnp.arange(ht)[:, None]
+    ix = jnp.arange(wt)[None, :]
+    return flat[iy, ix, idx]
+
+
+def _dilate_max(tiles):
+    """3x3 max-magnitude dilation (velocity_dilate pass)."""
+    best = tiles
+    best_mag = jnp.linalg.norm(tiles, axis=-1)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            v = im.shift2d(tiles, dy, dx)
+            m = jnp.linalg.norm(v, axis=-1)
+            take = m > best_mag
+            best = jnp.where(take[..., None], v, best)
+            best_mag = jnp.maximum(best_mag, m)
+    return best
+
+
+def motion_blur(color, velocity, depth, frame_fraction: float = 0.5):
+    """color (H, W, 3), velocity (H, W, 2) in uv units (cur->prev), depth
+    reversed-Z. Returns blurred color. frame_fraction scales the blur
+    (shutter; the reference's motion_blur_scale)."""
+    h, w = color.shape[:2]
+    tiles = _tile_reduce_max(velocity, TILE)
+    tiles = _dilate_max(tiles)
+    tile_vel = im.upsample_bilinear(tiles, h, w) * frame_fraction
+
+    uv = im.pixel_uv(h, w)
+    acc = jnp.zeros_like(color)
+    wsum = jnp.zeros((h, w, 1), jnp.float32)
+    for i in range(N_TAPS):
+        t = (i + 0.5) / N_TAPS - 0.5
+        suv = uv + tile_vel * t
+        c = im.sample_bilinear(color, suv)
+        # depth-aware: don't smear foreground over background
+        d = im.sample_bilinear(depth, suv)
+        wgt = jnp.where(d[..., None] >= depth[..., None] * 0.95, 1.0, 0.25)
+        acc = acc + c * wgt
+        wsum = wsum + wgt
+    return acc / jnp.maximum(wsum, 1e-6)

@@ -122,6 +122,41 @@ def tonemap_filmic(x):
     return jnp.clip(mapped * ratio, 0.0, 1.0)
 
 
+def cas_sharpen(img, amount: float = 0.4):
+    """Contrast-adaptive sharpening (AMD FidelityFX CAS flavor): sharpening
+    strength falls off where local contrast is already high. Applied on the
+    tonemapped image like the reference (README 'CAS')."""
+    mn = img
+    mx = img
+    for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+        v = im.shift2d(img, dy, dx)
+        mn = jnp.minimum(mn, v)
+        mx = jnp.maximum(mx, v)
+    # amount of allowed sharpening per pixel
+    d_mn = mn
+    d_mx = 1.0 - mx
+    a = jnp.sqrt(jnp.clip(jnp.minimum(d_mn, d_mx) /
+                          jnp.maximum(mx, 1e-4), 0.0, 1.0))
+    w = -a * (amount * 0.2)
+    cross = (im.shift2d(img, -1, 0) + im.shift2d(img, 1, 0)
+             + im.shift2d(img, 0, -1) + im.shift2d(img, 0, 1))
+    out = (img + cross * w) / jnp.maximum(1.0 + 4.0 * w, 1e-4)
+    return jnp.clip(out, 0.0, 1.0)
+
+
+def bezold_brucke_shift(rgb, strength: float = 0.3):
+    """Approximate Bezold-Brucke hue shift: bright colors drift toward
+    yellow/blue (the reference bakes a LUT, `lut_renderers.rs:48-76`;
+    here an analytic approximation on the tonemapped value)."""
+    from ..core.color import luminance
+
+    y = luminance(rgb)[..., None]
+    # blend toward the luminance axis for very bright pixels (desaturation
+    # part of the shift); hue rotation kept subtle
+    t = jnp.clip((y - 0.7) / 0.3, 0.0, 1.0) * strength
+    return rgb + (y - rgb) * t
+
+
 def post_combine(lit, exposure_mult, glare_amount: float = 0.07,
                  contrast: float = 1.03, glare=None):
     """Final combine (post_combine.hlsl): glare blend, exposure, contrast,
@@ -133,4 +168,6 @@ def post_combine(lit, exposure_mult, glare_amount: float = 0.07,
     t = tonemap_filmic(x)
     # contrast in log space around mid grey
     t = jnp.clip(0.18 * jnp.power(jnp.maximum(t, 1e-6) / 0.18, contrast), 0.0, 1.0)
+    t = bezold_brucke_shift(t)
+    t = cas_sharpen(t)
     return srgb_encode(t)

@@ -22,7 +22,7 @@ from ..brdf import ggx
 from ..brdf.sampling import power_heuristic, to_world, uniform_cone, uniform_triangle
 from ..core import rng as rng_mod
 from ..core.camera import camera_rays
-from ..rt.trace import trace_closest, trace_shadow
+from ..rt.trace import scene_trace_closest, scene_trace_shadow
 from ..sky.atmosphere import sky_radiance
 from ..world import TraceScene, hit_attributes
 
@@ -111,7 +111,7 @@ def path_trace(
         act = state["active"]
         tp, radiance = state["throughput"], state["radiance"]
 
-        hit = trace_closest(ts.bvh, ts.tris, org, d, t_min=RAY_EPS,
+        hit = scene_trace_closest(ts, org, d, t_min=RAY_EPS,
                             max_steps=max_trace_steps)
         m = hit.hit_mask & act
 
@@ -142,8 +142,8 @@ def path_trace(
             sun_dir, rng = _sample_sun(ts, rng)
             cos_s = jnp.sum(n * sun_dir, axis=-1)
             sun_possible = m & (cos_s > 0.0)
-            occ = trace_shadow(
-                ts.bvh, ts.tris,
+            occ = scene_trace_shadow(
+                ts,
                 pos + attrs["geo_normal"] * RAY_EPS * 4, sun_dir,
                 t_min=RAY_EPS, max_steps=max_trace_steps)
             f = ggx.eval_layered(bc, metal, rough, n, wo, sun_dir)
@@ -156,8 +156,8 @@ def path_trace(
             ls, rng = _sample_light(ts, pos, rng)
             cos_s = jnp.sum(n * ls["wi"], axis=-1)
             possible = m & ls["valid"] & (cos_s > 0.0)
-            occ = trace_shadow(
-                ts.bvh, ts.tris,
+            occ = scene_trace_shadow(
+                ts,
                 pos + attrs["geo_normal"] * RAY_EPS * 4, ls["wi"],
                 t_min=RAY_EPS, t_max=ls["dist"] - RAY_EPS * 10,
                 max_steps=max_trace_steps)

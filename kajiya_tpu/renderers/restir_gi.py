@@ -1,0 +1,188 @@
+"""ReSTIR GI: reservoir-resampled diffuse final gather (half-res).
+
+Role of the reference's restir chain in `renderers/rtdgi.rs:364-554`
+(`restir_temporal.hlsl`, `restir_spatial.hlsl` x2, `restir_resolve.hlsl`;
+doc `gi-overview.md:99-161`): candidate rays feed per-pixel reservoirs that
+are resampled temporally (reprojected history) and spatially (jittered
+neighbor taps with geometry similarity), multiplying the effective sample
+count at ~1 traced ray per half-res pixel.
+
+TPU re-design: reservoirs are planar arrays (ops/reservoir.py); directional
+reuse (payload = radiance + ray direction + hit distance) with the target
+function p_hat = luminance(L) * max(n.dir, 0); cosine-sampled candidates
+enter with the constant RIS weight pi * luminance(L). Spatial taps are
+static jittered offsets -> coalesced gathers instead of warp-divergent
+loops.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core import img as im
+from ..core import rng as rng_mod
+from ..core.color import luminance
+from ..ops import reservoir as rsv
+
+M_CLAMP_TEMPORAL = 20.0
+M_CLAMP_SPATIAL = 4.0
+
+
+def init_state(h: int, w: int):
+    hh, hw = h // 2, w // 2
+    payload = {
+        "radiance": jnp.zeros((hh, hw, 3), jnp.float32),
+        "dir": jnp.zeros((hh, hw, 3), jnp.float32),
+        "t": jnp.zeros((hh, hw), jnp.float32),
+    }
+    r = rsv.init((hh, hw), payload)
+    return {
+        "gi_res_payload_radiance": r["payload"]["radiance"],
+        "gi_res_payload_dir": r["payload"]["dir"],
+        "gi_res_payload_t": r["payload"]["t"],
+        "gi_res_w_sum": r["w_sum"],
+        "gi_res_M": r["M"],
+        "gi_res_W": r["W"],
+        "gi_res_p_hat": r["p_hat"],
+    }
+
+
+def _pack(state):
+    return {
+        "payload": {
+            "radiance": state["gi_res_payload_radiance"],
+            "dir": state["gi_res_payload_dir"],
+            "t": state["gi_res_payload_t"],
+        },
+        "w_sum": state["gi_res_w_sum"],
+        "M": state["gi_res_M"],
+        "W": state["gi_res_W"],
+        "p_hat": state["gi_res_p_hat"],
+    }
+
+
+def _unpack(r):
+    return {
+        "gi_res_payload_radiance": r["payload"]["radiance"],
+        "gi_res_payload_dir": r["payload"]["dir"],
+        "gi_res_payload_t": r["payload"]["t"],
+        "gi_res_w_sum": r["w_sum"],
+        "gi_res_M": r["M"],
+        "gi_res_W": r["W"],
+        "gi_res_p_hat": r["p_hat"],
+    }
+
+
+def _p_hat(radiance, direction, normal):
+    return luminance(radiance) * jnp.maximum(
+        jnp.sum(direction * normal, axis=-1), 0.0)
+
+
+def _shift2(x, dy, dx):
+    return im.shift2d(x, dy, dx)
+
+
+def _geo_weight(vz, vz_n, n, n_n):
+    w_z = (jnp.abs(vz - vz_n) / (0.1 * vz + 1e-4)) < 1.0
+    w_n = jnp.sum(n * n_n, axis=-1) > 0.7
+    return w_z & w_n
+
+
+def restir_diffuse(state, candidates, gb_h, reproj, frame_idx,
+                   ssao_h=None, near: float = 0.01):
+    """Temporal + 2 spatial reservoir passes at half res.
+
+    candidates: dict from rtdgi.trace_candidates. Returns (reservoir dict
+    for resolve, new flat state)."""
+    hh, hw = gb_h["hit"].shape
+    n = gb_h["normal"]
+    vz = near / jnp.maximum(gb_h["depth"], 1e-12)
+
+    px = jnp.arange(hh * hw, dtype=jnp.uint32).reshape(hh, hw)
+    rng = rng_mod.pixel_rng(px % jnp.uint32(hw), px // jnp.uint32(hw),
+                            jnp.uint32(frame_idx), stream=41)
+
+    # ---- candidate reservoir (M=1)
+    cand_payload = {"radiance": candidates["radiance"],
+                    "dir": candidates["ray_dir"],
+                    "t": candidates["ray_t"]}
+    lum = luminance(candidates["radiance"])
+    cosg = jnp.maximum(jnp.sum(candidates["ray_dir"] * n, axis=-1), 0.0)
+    p_hat_c = lum * cosg
+    w_c = jnp.pi * lum                        # p_hat / (cos/pi)
+    cur = rsv.init((hh, hw), cand_payload)
+    u, rng = rng_mod.rand_u01(rng)
+    cur = rsv.update(cur, cand_payload, w_c, p_hat_c, u,
+                     mask=candidates["valid"])
+
+    # ---- temporal: reprojected previous reservoir (restir_temporal.hlsl)
+    prev = _pack(state)
+    # nearest-reprojection of every plane at half res
+    prev_uv = reproj["prev_uv"][::2, ::2]
+    validity = reproj["validity"][::2, ::2]
+
+    def fetch(x):
+        return im.sample_nearest(x, prev_uv)
+
+    import jax
+
+    prev_f = jax.tree_util.tree_map(fetch, prev)
+    prev_f = rsv.clamp_m(prev_f, M_CLAMP_TEMPORAL)
+    p_hat_t = _p_hat(prev_f["payload"]["radiance"], prev_f["payload"]["dir"], n)
+    u, rng = rng_mod.rand_u01(rng)
+    cur = rsv.merge(cur, prev_f, p_hat_t, u,
+                    mask=(validity > 0.5) & candidates["valid"])
+
+    # ---- spatial x2 (restir_spatial.hlsl): static jittered neighbor taps
+    offsets = [((1, 2), (-2, 1), (2, -1), (-1, -2)),
+               ((3, 5), (-5, 3), (5, -3), (-3, -5))]
+    for pi, taps in enumerate(offsets):
+        merged = cur
+        for (dy, dx) in taps:
+            nb = jax.tree_util.tree_map(lambda x: _shift2(x, dy, dx), cur)
+            n_nb = _shift2(n, dy, dx)
+            vz_nb = _shift2(vz, dy, dx)
+            ok = _geo_weight(vz, vz_nb, n, n_nb) & candidates["valid"]
+            p_hat_nb = _p_hat(nb["payload"]["radiance"], nb["payload"]["dir"], n)
+            nb = rsv.clamp_m(nb, M_CLAMP_SPATIAL * M_CLAMP_TEMPORAL)
+            u, rng = rng_mod.rand_u01(rng)
+            merged = rsv.merge(merged, nb, p_hat_nb, u, mask=ok)
+        cur = merged
+
+    return cur, _unpack(cur)
+
+
+def resolve(reservoir, gb, near: float = 0.01):
+    """Half-res reservoirs -> full-res E/pi (restir_resolve.hlsl): 4-tap
+    joint-bilateral gather; each reservoir contributes its unbiased
+    estimator L * cos(n_full, dir) * W."""
+    h, w = gb["depth"].shape
+    uv = im.pixel_uv(h, w)
+    rad = reservoir["payload"]["radiance"]
+    dirs = reservoir["payload"]["dir"]
+    W = reservoir["W"]
+    hh, hw = W.shape
+
+    iy, ix, wbl = im.bilinear_weights_and_indices((hh, hw), uv)
+    iy = jnp.clip(iy, 0, hh - 1)
+    ix = jnp.clip(ix, 0, hw - 1)
+
+    vz = near / jnp.maximum(gb["depth"], 1e-12)
+    vz_h = near / jnp.maximum(gb["depth"][::2, ::2], 1e-12)
+    n_full = gb["normal"]
+    n_h = gb["normal"][::2, ::2]
+
+    acc = jnp.zeros((h, w, 3), jnp.float32)
+    accw = jnp.zeros((h, w), jnp.float32)
+    for k in range(4):
+        y, x, bw = iy[..., k], ix[..., k], wbl[..., k]
+        zz = vz_h[y, x]
+        nn = n_h[y, x]
+        w_z = jnp.exp(-jnp.abs(zz - vz) / (0.05 * vz + 1e-4))
+        w_n = jnp.maximum(jnp.sum(nn * n_full, axis=-1), 0.0) ** 8
+        wt = bw * w_z * w_n + 1e-6
+        cosf = jnp.maximum(jnp.sum(dirs[y, x] * n_full, axis=-1), 0.0)
+        est = rad[y, x] * (cosf * W[y, x])[..., None]
+        acc = acc + est * wt[..., None]
+        accw = accw + wt
+    # estimator integrates L cos / pdf == pi * E/pi; divide by pi
+    return acc / accw[..., None] / jnp.pi

@@ -20,7 +20,7 @@ from ..core import img as im
 from ..core import rng as rng_mod
 from .hit_lighting import hit_radiance
 from .reprojection import reproject_image
-from ..rt.trace import trace_closest
+from ..rt.trace import scene_trace_closest
 
 RAY_EPS = 1e-4
 
@@ -60,7 +60,7 @@ def trace_candidates(ts, gb_h, frame_idx, sky_env, diffuse_env,
     wi = to_world(n, cosine_hemisphere(u1, u2))
     org = pos + gn * RAY_EPS * 8
 
-    hit = trace_closest(ts.bvh, ts.tris, org, wi, t_min=RAY_EPS,
+    hit = scene_trace_closest(ts, org, wi, t_min=RAY_EPS,
                         max_steps=max_trace_steps)
     rad = hit_radiance(ts, hit, wi, sky_env, diffuse_env,
                        prev_lit=prev_lit, prev_depth=prev_depth, view=view,
@@ -109,22 +109,26 @@ def _edge_aware_upsample(half_img, gb, near: float = 0.01):
 def rtdgi_pipeline(ts, gb, view, frame_idx, state, reproj, sky_env,
                    diffuse_env, ssao=None, prev_lit=None, prev_depth=None,
                    ircache_lookup=None, max_trace_steps=None,
-                   candidates=None):
-    """Full chain -> (diffuse E/pi (H, W, 3), new_state).
-
-    `candidates` lets a ReSTIR stage substitute resampled candidates."""
+                   use_restir: bool = True, restir_state=None):
+    """Full chain -> (diffuse E/pi (H, W, 3), new_state, new_restir_state)."""
     gb_h = _half(gb)
-    if candidates is None:
-        candidates = trace_candidates(
-            ts, gb_h, frame_idx, sky_env, diffuse_env, prev_lit=prev_lit,
-            prev_depth=prev_depth, view=view, ircache_lookup=ircache_lookup,
-            max_trace_steps=max_trace_steps)
+    candidates = trace_candidates(
+        ts, gb_h, frame_idx, sky_env, diffuse_env, prev_lit=prev_lit,
+        prev_depth=prev_depth, view=view, ircache_lookup=ircache_lookup,
+        max_trace_steps=max_trace_steps)
 
-    # spatial pre-filter at half res (cheap; the ReSTIR spatial passes'
-    # smoothing role for the non-reservoir path)
-    rad_h = im.separable_blur(candidates["radiance"], im.GAUSS5)
+    if use_restir and restir_state is not None:
+        from . import restir_gi
 
-    full = _edge_aware_upsample(rad_h, gb)
+        res, new_restir_state = restir_gi.restir_diffuse(
+            restir_state, candidates, gb_h, reproj, frame_idx)
+        full = restir_gi.resolve(res, gb)
+    else:
+        new_restir_state = restir_state
+        # spatial pre-filter at half res (smoothing role of the ReSTIR
+        # spatial passes for the plain path)
+        rad_h = im.separable_blur(candidates["radiance"], im.GAUSS5)
+        full = _edge_aware_upsample(rad_h, gb)
 
     # temporal accumulation at full res (temporal_filter.hlsl)
     hist = reproject_image(state["rtdgi_history"], reproj)
@@ -142,4 +146,4 @@ def rtdgi_pipeline(ts, gb, view, frame_idx, state, reproj, sky_env,
         out = out * (0.3 + 0.7 * ssao[..., None])
 
     new_state = {"rtdgi_history": out, "rtdgi_hist_len": hist_len}
-    return out, new_state
+    return out, new_state, new_restir_state

@@ -19,7 +19,7 @@ from ..core import img as im
 from ..core import rng as rng_mod
 from .hit_lighting import hit_radiance
 from .reprojection import reproject_image
-from ..rt.trace import trace_closest
+from ..rt.trace import scene_trace_closest
 
 RAY_EPS = 1e-4
 
@@ -61,7 +61,7 @@ def trace_reflections(ts, gb, frame_idx, sky_env, diffuse_env,
     wi = wi / jnp.maximum(jnp.linalg.norm(wi, axis=-1, keepdims=True), 1e-12)
 
     org = pos.reshape(-1, 3) + gn.reshape(-1, 3) * RAY_EPS * 8
-    hit = trace_closest(ts.bvh, ts.tris, org, wi, t_min=RAY_EPS,
+    hit = scene_trace_closest(ts, org, wi, t_min=RAY_EPS,
                         max_steps=max_trace_steps)
     rad = hit_radiance(ts, hit, wi, sky_env, diffuse_env,
                        prev_lit=prev_lit, prev_depth=prev_depth, view=view,

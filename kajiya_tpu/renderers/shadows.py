@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from ..core import img as im
 from ..core import rng as rng_mod
 from ..brdf.sampling import to_world, uniform_cone
-from ..rt.trace import trace_shadow
+from ..rt.trace import scene_trace_shadow
 from .reprojection import reproject_image
 
 RAY_EPS = 1e-4
@@ -43,7 +43,7 @@ def trace_sun_shadow_mask(ts, gb, frame_idx, max_trace_steps=None):
     n = gb["normal"].reshape(-1, 3)
     facing = jnp.sum(n * sun_dir, axis=-1) > 0.0
     need_ray = gb["hit"].reshape(-1) & facing
-    occ = trace_shadow(ts.bvh, ts.tris, pos + gn * RAY_EPS * 8, sun_dir,
+    occ = scene_trace_shadow(ts, pos + gn * RAY_EPS * 8, sun_dir,
                        t_min=RAY_EPS, max_steps=max_trace_steps)
     lit = jnp.where(need_ray, (~occ).astype(jnp.float32), 0.0)
     return lit.reshape(h, w)

@@ -161,6 +161,72 @@ def build_bvh(tri_min: np.ndarray, tri_max: np.ndarray, leaf_size: int = 4):
     return bvh, levels
 
 
+def build_bvh_native(tri_min: np.ndarray, tri_max: np.ndarray,
+                     leaf_size: int = 4):
+    """C++ builder (native/bvh_builder.cpp) producing bit-identical output to
+    `build_bvh` (same morton + median-split algorithm) at C++ speed for
+    production-size meshes. Returns (Bvh numpy, levels) or raises if the
+    toolchain is unavailable."""
+    import ctypes
+
+    from ..native import load
+
+    lib = load("bvh_builder")
+    n = tri_min.shape[0]
+    cap_nodes = 2 * n + 2
+    cap_order = 2 * n + leaf_size
+    node_min = np.empty((cap_nodes, 3), np.float32)
+    node_max = np.empty((cap_nodes, 3), np.float32)
+    node_first = np.empty(cap_nodes, np.int32)
+    node_count = np.empty(cap_nodes, np.int32)
+    node_skip = np.empty(cap_nodes, np.int32)
+    node_depth = np.empty(cap_nodes, np.int32)
+    tri_order = np.empty(cap_order, np.int32)
+    n_nodes = ctypes.c_int()
+    n_order = ctypes.c_int()
+
+    tmin = np.ascontiguousarray(tri_min, np.float32)
+    tmax = np.ascontiguousarray(tri_max, np.float32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    i32p = ctypes.POINTER(ctypes.c_int)
+    rc = lib.build_bvh(
+        tmin.ctypes.data_as(f32p), tmax.ctypes.data_as(f32p),
+        ctypes.c_int(n), ctypes.c_int(leaf_size),
+        node_min.ctypes.data_as(f32p), node_max.ctypes.data_as(f32p),
+        node_first.ctypes.data_as(i32p), node_count.ctypes.data_as(i32p),
+        node_skip.ctypes.data_as(i32p), node_depth.ctypes.data_as(i32p),
+        tri_order.ctypes.data_as(i32p),
+        ctypes.byref(n_nodes), ctypes.byref(n_order))
+    if rc != 0:
+        raise RuntimeError(f"native bvh build failed rc={rc}")
+    nn, no = n_nodes.value, n_order.value
+    node_min, node_max = node_min[:nn], node_max[:nn]
+    node_first, node_count = node_first[:nn], node_count[:nn]
+    node_skip, node_depth = node_skip[:nn], node_depth[:nn]
+    tri_order = tri_order[:no]
+
+    internal = np.nonzero(node_count == 0)[0].astype(np.int32)
+    levels = []
+    if len(internal):
+        child0 = internal + 1
+        child1 = node_skip[child0]
+        depths = node_depth[internal]
+        for d in range(depths.max(), -1, -1):
+            sel = depths == d
+            if sel.any():
+                levels.append((internal[sel], child0[sel], child1[sel]))
+
+    bvh = Bvh(node_min=node_min, node_max=node_max, node_first=node_first,
+              node_count=node_count, node_skip=node_skip,
+              tri_order=tri_order, leaf_size=leaf_size)
+    return bvh, levels
+
+
+# meshes above this size go through the native builder (python recursion is
+# the reference implementation + fallback)
+NATIVE_BUILD_MIN_TRIS = 20_000
+
+
 def refit_bvh(bvh: Bvh, levels, v0, e1, e2) -> Bvh:
     """Refit node bounds from current triangle geometry (traced, runs in-jit).
 
@@ -200,12 +266,19 @@ def refit_bvh(bvh: Bvh, levels, v0, e1, e2) -> Bvh:
 
 def bvh_from_scene(gpu_scene, leaf_size: int = 4):
     """Build BVH over a GpuScene's current world-space triangles.
-    Returns (bvh (device), levels, (v0, e1, e2) world triangle SoA)."""
+    Returns (bvh (device), levels, (v0, e1, e2) world triangle SoA).
+    Large meshes use the native C++ builder when the toolchain allows."""
     v0, e1, e2 = gpu_scene.triangle_corners()
     v0n, e1n, e2n = np.asarray(v0), np.asarray(e1), np.asarray(e2)
     p1, p2 = v0n + e1n, v0n + e2n
     tmin = np.minimum(np.minimum(v0n, p1), p2)
     tmax = np.maximum(np.maximum(v0n, p1), p2)
-    bvh, levels = build_bvh(tmin, tmax, leaf_size=leaf_size)
+    if tmin.shape[0] >= NATIVE_BUILD_MIN_TRIS:
+        try:
+            bvh, levels = build_bvh_native(tmin, tmax, leaf_size=leaf_size)
+        except Exception:
+            bvh, levels = build_bvh(tmin, tmax, leaf_size=leaf_size)
+    else:
+        bvh, levels = build_bvh(tmin, tmax, leaf_size=leaf_size)
     bvh = jax.tree_util.tree_map(jnp.asarray, bvh)
     return bvh, levels, (v0, e1, e2)

@@ -147,3 +147,29 @@ def trace_shadow(bvh, tris, org, d, t_min=1e-4, t_max=INF, max_steps=None):
     """Any-hit occlusion trace -> (R,) bool `occluded` (~ rt_is_shadowed)."""
     hit = _traverse(bvh, tris, org, d, jnp.float32(t_min), t_max, True, max_steps)
     return hit.hit_mask
+
+
+# ----------------------------------------------------------------------------
+# Scene-level dispatch: MXU brute-force (ops/woop.py) for small scenes,
+# skip-link BVH traversal otherwise. All renderer passes go through these.
+# ----------------------------------------------------------------------------
+
+def scene_trace_closest(ts, org, d, t_min=1e-4, t_max=INF, max_steps=None) -> Hit:
+    """Closest-hit against a TraceScene (~ `GbufferRaytrace::trace`)."""
+    if ts.woop is not None:
+        from ..ops.woop import intersect_brute
+
+        t, tri, u, v = intersect_brute(ts.woop, org, d, t_min=t_min, t_max=t_max)
+        return Hit(t=t, tri=tri, u=u, v=v)
+    return trace_closest(ts.bvh, ts.tris, org, d, t_min, t_max, max_steps)
+
+
+def scene_trace_shadow(ts, org, d, t_min=1e-4, t_max=INF, max_steps=None):
+    """Occlusion against a TraceScene -> (R,) bool (~ `rt_is_shadowed`)."""
+    if ts.woop is not None:
+        from ..ops.woop import intersect_brute
+
+        t, tri, _u, _v = intersect_brute(ts.woop, org, d, t_min=t_min,
+                                         t_max=t_max, any_hit=True)
+        return tri >= 0
+    return trace_shadow(ts.bvh, ts.tris, org, d, t_min, t_max, max_steps)

@@ -91,12 +91,15 @@ class GpuScene:
     sun_direction: Any    # (3,) f32 (normalized, towards the sun)
     sun_radiance: Any     # (3,) f32
     sun_angular_radius: Any  # () f32
+    tex_pages: Any = None    # tuple of per-mip (N, s, s, 4) arrays, or None
+    mat_tex: Any = None      # (M, 4) i32 page ids [base, mr, normal, emissive]
 
     _FIELDS = (
         "verts_obj", "normals_obj", "uvs", "vert_inst", "tri_idx", "tri_mat",
         "tri_inst", "xforms", "xforms_prev", "mat_base_color", "mat_emissive",
         "mat_metallic", "mat_roughness", "light_tri", "num_lights",
         "sun_direction", "sun_radiance", "sun_angular_radius",
+        "tex_pages", "mat_tex",
     )
 
     def tree_flatten(self):
@@ -135,15 +138,34 @@ class GpuScene:
         return v0, v1 - v0, v2 - v0
 
 
-def build_gpu_scene(scene: Scene, max_lights: int = 4096) -> GpuScene:
+def build_gpu_scene(scene: Scene, max_lights: int = 4096,
+                    with_textures: bool = True) -> GpuScene:
     """Flatten host Scene into a GpuScene (numpy -> device arrays)."""
     verts, normals, uvs, vert_inst = [], [], [], []
     tri_idx, tri_mat, tri_inst = [], [], []
     materials = []
     mesh_mat_offset = []
+    # global texture page table: dedupe image sources across meshes
+    # (the bindless image registry, `world_renderer.rs:541-602`)
+    img_src, img_slot = [], {}
+    mat_tex_rows = []
     for mesh in scene.meshes:
         mesh_mat_offset.append(len(materials))
         materials.extend(mesh.materials)
+        paths = getattr(mesh, "image_paths", [])
+        for m in mesh.materials:
+            row = []
+            for ti in (m.base_color_texture, m.mr_texture,
+                       m.normal_texture, m.emissive_texture):
+                if with_textures and 0 <= ti < len(paths):
+                    src = paths[ti]
+                    if src not in img_slot:
+                        img_slot[src] = len(img_src) + 1  # 0 = white page
+                        img_src.append(src)
+                    row.append(img_slot[src])
+                else:
+                    row.append(0)
+            mat_tex_rows.append(row)
 
     voff = 0
     for inst_id, inst in enumerate(scene.instances):
@@ -177,7 +199,17 @@ def build_gpu_scene(scene: Scene, max_lights: int = 4096) -> GpuScene:
 
     sun_dir = scene.sun_direction / np.linalg.norm(scene.sun_direction)
 
+    tex_pages = None
+    mat_tex = None
+    if with_textures and img_src:
+        from .textures import build_texture_pages
+
+        tex_pages = tuple(build_texture_pages(img_src))
+        mat_tex = jnp.asarray(np.asarray(mat_tex_rows, np.int32))
+
     return GpuScene(
+        tex_pages=tex_pages,
+        mat_tex=mat_tex,
         verts_obj=jnp.asarray(verts, jnp.float32),
         normals_obj=jnp.asarray(np.concatenate(normals), jnp.float32),
         uvs=jnp.asarray(np.concatenate(uvs), jnp.float32),

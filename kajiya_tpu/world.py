@@ -16,12 +16,18 @@ import jax.numpy as jnp
 from .rt.bvh import Bvh, bvh_from_scene, refit_bvh
 from .scene.scene import GpuScene
 
+# scenes at or below this many triangles use the MXU brute-force intersector
+# (ops/woop.py) instead of BVH traversal — dense matmuls beat a divergent
+# lockstep tree walk on TPU by orders of magnitude at this size
+BRUTE_FORCE_MAX_TRIS = 8192
+
 
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class TraceScene:
     """Everything needed to trace + shade: scene tables, BVH, world-space
-    triangle SoA and vertex normals."""
+    triangle SoA, vertex normals, and (small scenes) Woop brute-force
+    transforms."""
 
     gpu: GpuScene
     bvh: Bvh
@@ -34,9 +40,11 @@ class TraceScene:
     light_e2: Any
     light_area: Any     # (L,)
     light_emission: Any  # (L, 3)
+    woop: Any = None    # dict from ops.woop.build_woop, or None (BVH path)
 
     _F = ("gpu", "bvh", "v0", "e1", "e2", "vnormals",
-          "light_v0", "light_e1", "light_e2", "light_area", "light_emission")
+          "light_v0", "light_e1", "light_e2", "light_area", "light_emission",
+          "woop")
 
     def tree_flatten(self):
         return tuple(getattr(self, f) for f in self._F), None
@@ -50,20 +58,31 @@ class TraceScene:
         return (self.v0, self.e1, self.e2)
 
 
-def build_trace_scene(gpu: GpuScene, leaf_size: int = 4):
+def build_trace_scene(gpu: GpuScene, leaf_size: int = 4,
+                      brute_max_tris: int = BRUTE_FORCE_MAX_TRIS):
     """Host-side: build BVH topology once. Returns (TraceScene, levels)."""
     bvh, levels, _ = bvh_from_scene(gpu, leaf_size=leaf_size)
-    ts = refresh_trace_scene(gpu, bvh, levels)
+    use_brute = gpu.num_triangles <= brute_max_tris
+    ts = refresh_trace_scene(gpu, bvh, levels, use_brute=use_brute)
     return ts, levels
 
 
-def refresh_trace_scene(gpu: GpuScene, bvh: Bvh, levels) -> TraceScene:
+def refresh_trace_scene(gpu: GpuScene, bvh: Bvh, levels,
+                        use_brute: bool | None = None) -> TraceScene:
     """Jit-safe: recompute world geometry + refit BVH for current transforms
     (the per-frame 'rebuild tlas' pass, `world_renderer.rs:865-911`)."""
+    from .ops.woop import TRI_BLOCK, build_woop
+
     wp = gpu.world_positions()
     v0, e1, e2 = gpu.triangle_corners(wp)
     bvh = refit_bvh(bvh, levels, v0, e1, e2)
     vnormals = gpu.world_normals()
+    if use_brute is None:
+        use_brute = gpu.num_triangles <= BRUTE_FORCE_MAX_TRIS
+    woop = None
+    if use_brute:
+        pad = -(-gpu.num_triangles // TRI_BLOCK) * TRI_BLOCK
+        woop = build_woop(v0, e1, e2, pad_to=pad)
 
     lt = jnp.maximum(gpu.light_tri, 0)
     lv0, le1, le2 = v0[lt], e1[lt], e2[lt]
@@ -75,13 +94,17 @@ def refresh_trace_scene(gpu: GpuScene, bvh: Bvh, levels) -> TraceScene:
         light_v0=lv0, light_e1=le1, light_e2=le2,
         light_area=jnp.where(live[:, 0], area, 0.0),
         light_emission=jnp.where(live, emission, 0.0),
+        woop=woop,
     )
 
 
-def hit_attributes(ts: TraceScene, hit, ray_dir):
+def hit_attributes(ts: TraceScene, hit, ray_dir, mip: int = 0):
     """Fetch shading attributes at hit points (the software `gbuffer.rchit`,
     cf. `assets/shaders/rt/gbuffer.rchit.hlsl`). All entries are safe for
-    missed rays (mask with hit.hit_mask). Returns a dict of (R, ...) arrays."""
+    missed rays (mask with hit.hit_mask). Returns a dict of (R, ...) arrays.
+
+    `mip` selects the texture mip (primary rays 0; secondary rays pass a
+    coarser level — the ray-cone LOD role of `inc/ray_cone.hlsl`)."""
     gpu = ts.gpu
     tri = jnp.maximum(hit.tri, 0)
     idx = gpu.tri_idx[tri]                       # (R, 3)
@@ -107,14 +130,33 @@ def hit_attributes(ts: TraceScene, hit, ray_dir):
 
     mat = gpu.tri_mat[tri]
     pos = ts.v0[tri] + ts.e1[tri] * hit.u[:, None] + ts.e2[tri] * hit.v[:, None]
+
+    base_color = gpu.mat_base_color[mat][:, :3]
+    metallic = gpu.mat_metallic[mat]
+    roughness = gpu.mat_roughness[mat]
+    emissive = gpu.mat_emissive[mat]
+    if gpu.tex_pages is not None:
+        # manual texture fetch (bindless sampling equivalent; gltf packs
+        # roughness in G and metalness in B of the MR map)
+        from .scene.textures import sample_pages
+
+        slots = gpu.mat_tex[mat]                      # (R, 4)
+        bc = sample_pages(gpu.tex_pages, slots[:, 0], uv, mip=mip)
+        mr = sample_pages(gpu.tex_pages, slots[:, 1], uv, mip=mip)
+        em = sample_pages(gpu.tex_pages, slots[:, 3], uv, mip=mip)
+        base_color = base_color * bc[:, :3]
+        roughness = jnp.clip(roughness * mr[:, 1], 1e-3, 1.0)
+        metallic = jnp.clip(metallic * mr[:, 2], 0.0, 1.0)
+        emissive = emissive * em[:, :3]
+
     return dict(
         pos=pos,
         normal=normal,
         geo_normal=geo_n,
         uv=uv,
-        base_color=gpu.mat_base_color[mat][:, :3],
-        metallic=gpu.mat_metallic[mat],
-        roughness=gpu.mat_roughness[mat],
-        emissive=gpu.mat_emissive[mat],
+        base_color=base_color,
+        metallic=metallic,
+        roughness=roughness,
+        emissive=emissive,
         material=mat,
     )

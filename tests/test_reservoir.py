@@ -1,0 +1,142 @@
+"""Statistical correctness of the reservoir/RIS math (SURVEY.md section 4c:
+unbiasedness of the `update_with_stream` equivalent)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from kajiya_tpu.core import rng as rng_mod
+from kajiya_tpu.ops import reservoir as rsv
+
+
+class TestSelectionDistribution:
+    def test_selection_proportional_to_weight(self):
+        """Streaming 3 candidates with weights w_i must select candidate i
+        with probability w_i / sum(w)."""
+        n = 50_000
+        weights = [1.0, 3.0, 6.0]
+        payload = {"id": jnp.zeros((n,), jnp.float32)}
+        res = rsv.init((n,), payload)
+        rng = rng_mod.pcg_hash(jnp.arange(n, dtype=jnp.uint32))
+        for i, w in enumerate(weights):
+            u, rng = rng_mod.rand_u01(rng)
+            res = rsv.update(res, {"id": jnp.full((n,), float(i))},
+                             jnp.full((n,), w), jnp.full((n,), w), u)
+        ids = np.asarray(res["payload"]["id"])
+        total = sum(weights)
+        for i, w in enumerate(weights):
+            frac = (ids == i).mean()
+            assert abs(frac - w / total) < 0.01, (i, frac, w / total)
+
+    def test_m_counts_stream_length(self):
+        res = rsv.init((4,), {"x": jnp.zeros((4,))})
+        u = jnp.full((4,), 0.5)
+        for _ in range(5):
+            res = rsv.update(res, {"x": jnp.ones((4,))}, jnp.ones((4,)),
+                             jnp.ones((4,)), u)
+        assert np.allclose(np.asarray(res["M"]), 5.0)
+
+
+class TestUnbiasedness:
+    def test_ris_estimator_unbiased_uniform_source(self):
+        """RIS with target p_hat == f over candidates from uniform source on
+        [0,1): E[f(y) * W] must equal the integral of f.
+
+        f(x) = x^2 -> integral 1/3."""
+        n = 200_000
+        k = 4  # candidates per reservoir
+        key = jax.random.PRNGKey(0)
+        res = rsv.init((n,), {"x": jnp.zeros((n,))})
+        rng = rng_mod.pcg_hash(jnp.arange(n, dtype=jnp.uint32) + 7)
+        for i in range(k):
+            key, sk = jax.random.split(key)
+            x = jax.random.uniform(sk, (n,))
+            f = x * x
+            # source pdf = 1 -> w = p_hat / 1
+            u, rng = rng_mod.rand_u01(rng)
+            res = rsv.update(res, {"x": x}, f, f, u)
+        est = np.asarray(res["payload"]["x"]) ** 2 * np.asarray(res["W"])
+        assert abs(est.mean() - 1.0 / 3.0) < 0.005, est.mean()
+
+    def test_merge_preserves_unbiasedness(self):
+        """Merging two independent reservoirs keeps E[f(y) W] = integral f."""
+        n = 200_000
+        key = jax.random.PRNGKey(1)
+        rng = rng_mod.pcg_hash(jnp.arange(n, dtype=jnp.uint32) + 99)
+
+        def make(key, rng, k):
+            res = rsv.init((n,), {"x": jnp.zeros((n,))})
+            for _ in range(k):
+                key, sk = jax.random.split(key)
+                x = jax.random.uniform(sk, (n,))
+                f = x * x
+                u, rng = rng_mod.rand_u01(rng)
+                res = rsv.update(res, {"x": x}, f, f, u)
+            return res, key, rng
+
+        a, key, rng = make(key, rng, 2)
+        b, key, rng = make(key, rng, 3)
+        p_hat_b = b["payload"]["x"] ** 2
+        u, rng = rng_mod.rand_u01(rng)
+        m = rsv.merge(a, b, p_hat_b, u)
+        assert np.allclose(np.asarray(m["M"]), 5.0)
+        est = np.asarray(m["payload"]["x"]) ** 2 * np.asarray(m["W"])
+        assert abs(est.mean() - 1.0 / 3.0) < 0.005, est.mean()
+
+    def test_clamp_m_keeps_weight_scale(self):
+        n = 10_000
+        key = jax.random.PRNGKey(2)
+        rng = rng_mod.pcg_hash(jnp.arange(n, dtype=jnp.uint32) + 3)
+        res = rsv.init((n,), {"x": jnp.zeros((n,))})
+        for _ in range(8):
+            key, sk = jax.random.split(key)
+            x = jax.random.uniform(sk, (n,))
+            f = x * x
+            u, rng = rng_mod.rand_u01(rng)
+            res = rsv.update(res, {"x": x}, f, f, u)
+        clamped = rsv.clamp_m(res, 4.0)
+        assert np.allclose(np.asarray(clamped["M"]), 4.0)
+        # W is invariant under proportional (w_sum, M) rescale
+        assert np.allclose(np.asarray(clamped["W"]), np.asarray(res["W"]),
+                           rtol=1e-5)
+
+
+class TestRestirGiIntegration:
+    def test_restir_resolve_matches_plain_mean(self):
+        """In a flat-radiance field every reservoir converges to radiance L
+        and resolve must return ~L/pi * pi = L (E/pi with uniform L)."""
+        import kajiya_tpu.renderers.restir_gi as rg
+
+        h = w = 16
+        st = rg.init_state(h, w)
+        n = jnp.tile(jnp.asarray([0.0, 1.0, 0.0]), (h // 2, w // 2, 1))
+        gb_h = {
+            "normal": n,
+            "depth": jnp.full((h // 2, w // 2), 0.5, jnp.float32),
+            "hit": jnp.ones((h // 2, w // 2), bool),
+            "pos": jnp.zeros((h // 2, w // 2, 3), jnp.float32),
+            "geo_normal": n,
+        }
+        L = 0.6
+        up = jnp.tile(jnp.asarray([0.0, 1.0, 0.0]), (h // 2, w // 2, 1))
+        candidates = {
+            "radiance": jnp.full((h // 2, w // 2, 3), L, jnp.float32),
+            "ray_dir": up,          # straight along the normal
+            "ray_t": jnp.ones((h // 2, w // 2), jnp.float32),
+            "valid": jnp.ones((h // 2, w // 2), bool),
+        }
+        reproj = {
+            "prev_uv": jnp.tile(jnp.zeros((2,)), (h, w, 1)),
+            "validity": jnp.zeros((h, w), jnp.float32),
+            "in_bounds": jnp.zeros((h, w), jnp.float32),
+        }
+        res, st = rg.restir_diffuse(st, candidates, gb_h, reproj, 0)
+        gb = {
+            "depth": jnp.full((h, w), 0.5, jnp.float32),
+            "normal": jnp.tile(jnp.asarray([0.0, 1.0, 0.0]), (h, w, 1)),
+        }
+        out = np.asarray(rg.resolve(res, gb))
+        # estimator: L * cos(=1) * W; with p_hat = lum(L)*1, w = pi*lum ->
+        # W = pi / p_hat * lum = pi / cos... E = pi * L, out = E/pi = L... but
+        # with our luminance-target all-equal candidates W = pi*lum/(M*lum)/..
+        inner = out[4:-4, 4:-4]
+        assert np.allclose(inner, L, rtol=5e-2), (inner.mean(), L)
