@@ -49,6 +49,8 @@ class RenderConfig:
     use_taa: bool = True
     use_ircache: bool = True
     use_restir_gi: bool = True
+    use_mesh_light_specular: bool = False   # auto-enabled by Renderer when
+                                            # the scene has emissive lights
     use_motion_blur: bool = True
     motion_blur_scale: float = 0.5
     ircache: IrcacheConfig = IrcacheConfig()
@@ -105,7 +107,7 @@ def init_frame_state(cfg: RenderConfig):
 
 
 def render_frame(ts, state, view: ViewConstants, cfg: RenderConfig,
-                 levels=None, ircache_lookup=None):
+                 levels=None, ircache_lookup=None, ibl_env=None):
     """One frame. Returns (new_state, outputs) where outputs carries the
     display image and intermediate buffers for debugging/testing.
 
@@ -119,8 +121,10 @@ def render_frame(ts, state, view: ViewConstants, cfg: RenderConfig,
     if levels is not None:
         ts = refresh_trace_scene(ts.gpu, ts.bvh, levels)
 
-    # --- sky cube + convolve (sky.rs)
-    sky_env = sky_env_mod.build_sky_env(ts.gpu.sun_direction)
+    # --- sky cube + convolve (sky.rs); an IBL env map replaces the
+    # procedural atmosphere when provided (ibl.rs:18-85)
+    sky_env = (ibl_env if ibl_env is not None
+               else sky_env_mod.build_sky_env(ts.gpu.sun_direction))
     diffuse_env = sky_env_mod.convolve_diffuse(sky_env)
 
     # --- primary visibility ("raster simple")
@@ -200,7 +204,8 @@ def render_frame(ts, state, view: ViewConstants, cfg: RenderConfig,
              "rtr_ray_len": state["rtr_ray_len"]},
             reproj, sky_env, diffuse_env,
             prev_lit=state["prev_lit"], prev_depth=state["prev_depth"],
-            ircache_lookup=ircache_lookup, max_trace_steps=mts)
+            ircache_lookup=ircache_lookup, max_trace_steps=mts,
+            mesh_light_specular=cfg.use_mesh_light_specular)
     else:
         refl = sky_env_mod.sample_env(
             sky_env, _reflect(gb["ray_dir"], gb["normal"]).reshape(-1, 3)
@@ -320,18 +325,28 @@ class Renderer:
     jit-compiled frame (the `WorldRenderer` + `rg::Renderer` pair of the
     reference, `world_renderer.rs:142-215` / `kajiya-rg/src/renderer.rs`)."""
 
-    def __init__(self, scene, cfg: RenderConfig = RenderConfig()):
+    def __init__(self, scene, cfg: RenderConfig = RenderConfig(),
+                 ibl: str | None = None):
         from .scene.scene import build_gpu_scene
         from .world import build_trace_scene
 
-        self.cfg = cfg
         self.gpu = build_gpu_scene(scene)
+        if int(self.gpu.num_lights) > 0 and cfg.use_rtr:
+            cfg = replace(cfg, use_mesh_light_specular=True)
+        self.cfg = cfg
         self.ts, self.levels = build_trace_scene(self.gpu)
         self.state = init_frame_state(cfg)
+        self.ibl_env = None
+        if ibl is not None:
+            from .sky.ibl import load_ibl_env
+
+            self.ibl_env = load_ibl_env(ibl)
         levels = self.levels
+        ibl_env = self.ibl_env
 
         def _frame(ts, state, view):
-            return render_frame(ts, state, view, cfg, levels=levels)
+            return render_frame(ts, state, view, cfg, levels=levels,
+                                ibl_env=ibl_env)
 
         self._frame = jax.jit(_frame)
 

@@ -34,13 +34,17 @@ def _project_to_uv(world_to_clip, p):
 
 def hit_radiance(ts, hit, ray_dir, sky_env, diffuse_env,
                  prev_lit=None, prev_depth=None, view=None,
-                 ircache_lookup=None, max_trace_steps=None, near: float = 0.01):
+                 ircache_lookup=None, max_trace_steps=None, near: float = 0.01,
+                 rng=None, light_nee: bool = True):
     """Radiance arriving along `ray_dir` from hit/miss points. (R,) rays.
 
     prev_lit/prev_depth + view enable screen-space radiance reuse (the
     reference reprojects last frame's `accum` when the hit lands on-screen,
     `gi-overview.md:127-147`). ircache_lookup(pos, normal) -> irradiance/pi
     supplies "infinite bounce" ambient; falls back to the convolved sky.
+    When `rng` (uint32 (R,)) is given and the scene has emissive triangles,
+    one NEE light sample + shadow ray is added (the reference's hit lighting
+    includes emissive triangles, `gi-overview.md:99-161`).
     """
     m = hit.hit_mask
     # secondary rays sample a coarser texture mip (ray-cone LOD stand-in)
@@ -55,6 +59,22 @@ def hit_radiance(ts, hit, ray_dir, sky_env, diffuse_env,
     sun_vis = jnp.where(m & ~occ, cos_s, 0.0)
     albedo, _f0 = ggx.derive_lobes(attrs["base_color"], attrs["metallic"])
     direct = albedo / jnp.pi * ts.gpu.sun_radiance * sun_vis[:, None]
+
+    # --- emissive triangle NEE (diffuse-only at secondary hits)
+    if light_nee and rng is not None:
+        from .lights import sample_triangle_light
+
+        ls, rng = sample_triangle_light(ts, pos, rng)
+        cos_g = jnp.sum(n * ls["wi"], axis=-1)
+        possible = m & ls["valid"] & (cos_g > 0.0)
+        occ_l = scene_trace_shadow(
+            ts, pos + attrs["geo_normal"] * RAY_EPS * 8, ls["wi"],
+            t_min=RAY_EPS, t_max=ls["dist"] - RAY_EPS * 10,
+            max_steps=max_trace_steps)
+        contrib = (albedo / jnp.pi * ls["emission"]
+                   * (jnp.maximum(cos_g, 0.0)
+                      / jnp.maximum(ls["pdf_sa"], 1e-9))[:, None])
+        direct = direct + jnp.where((possible & ~occ_l)[:, None], contrib, 0.0)
 
     # --- ambient: irradiance cache (preferred) or convolved sky
     if ircache_lookup is not None:

@@ -219,7 +219,7 @@ def trace_update(state, ts, sky_env, diffuse_env, eye, frame_idx,
 
     rad = hit_radiance(ts, hit, d, sky_env, diffuse_env,
                        ircache_lookup=cache_lookup,
-                       max_trace_steps=max_trace_steps)
+                       max_trace_steps=max_trace_steps, rng=rngs)
     rad = jnp.where(live_r[:, None], rad, 0.0)
 
     # project onto SH: L_lm = (4pi / S) * sum radiance * Y_lm(d)

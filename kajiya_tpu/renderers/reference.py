@@ -39,46 +39,12 @@ def _sample_sun(ts, rng):
     return d, rng
 
 
-def _sample_light(ts, pos, rng):
-    """Pick an emissive triangle + point, return NEE sample info."""
-    n_lights = jnp.maximum(ts.gpu.num_lights, 1)
-    u_l, rng = rng_mod.rand_u01(rng)
-    li = jnp.minimum((u_l * n_lights).astype(jnp.int32), n_lights - 1)
-    u1, rng = rng_mod.rand_u01(rng)
-    u2, rng = rng_mod.rand_u01(rng)
-    b1, b2 = uniform_triangle(u1, u2)
-    lp = ts.light_v0[li] + ts.light_e1[li] * b1[:, None] + ts.light_e2[li] * b2[:, None]
-    l_n = jnp.cross(ts.light_e1[li], ts.light_e2[li])
-    l_n = l_n / jnp.maximum(jnp.linalg.norm(l_n, axis=-1, keepdims=True), 1e-12)
-    emission = ts.light_emission[li]
-    area = ts.light_area[li]
-
-    to_l = lp - pos
-    dist2 = jnp.sum(to_l * to_l, axis=-1)
-    dist = jnp.sqrt(jnp.maximum(dist2, 1e-12))
-    wi = to_l / dist[:, None]
-    cos_l = jnp.abs(jnp.sum(l_n * wi, axis=-1))  # double-sided emitters
-    # area pdf -> solid angle pdf
-    pdf_sa = dist2 / jnp.maximum(cos_l * area * n_lights.astype(jnp.float32), 1e-9)
-    valid = (ts.gpu.num_lights > 0) & (area > 0.0) & (cos_l > 1e-6)
-    return dict(wi=wi, dist=dist, pdf_sa=pdf_sa, emission=emission, valid=valid), rng
+from .lights import light_pdf_for_hit as _shared_light_pdf
+from .lights import sample_triangle_light as _sample_light
 
 
 def _light_pdf_for_hit(ts, hit, pos, wi):
-    """Solid-angle pdf that NEE would have assigned to a BRDF-sampled hit of an
-    emissive triangle (for MIS). hit.tri indexes global triangles."""
-    n_lights = jnp.maximum(ts.gpu.num_lights, 1).astype(jnp.float32)
-    # map global tri -> light slot: compare against light_tri table
-    # (L is small; one-hot match is a tiny matmul-like reduce)
-    matches = ts.gpu.light_tri[None, :] == hit.tri[:, None]         # (R, L)
-    is_light = jnp.any(matches, axis=-1)
-    area = jnp.sum(jnp.where(matches, ts.light_area[None, :], 0.0), axis=-1)
-    l_n = jnp.cross(ts.e1[jnp.maximum(hit.tri, 0)], ts.e2[jnp.maximum(hit.tri, 0)])
-    l_n = l_n / jnp.maximum(jnp.linalg.norm(l_n, axis=-1, keepdims=True), 1e-12)
-    cos_l = jnp.abs(jnp.sum(l_n * wi, axis=-1))
-    dist2 = hit.t * hit.t
-    pdf = dist2 / jnp.maximum(cos_l * area * n_lights, 1e-9)
-    return jnp.where(is_light & (area > 0), pdf, 0.0)
+    return _shared_light_pdf(ts, hit, wi)
 
 
 def path_trace(

@@ -65,7 +65,7 @@ def trace_candidates(ts, gb_h, frame_idx, sky_env, diffuse_env,
     rad = hit_radiance(ts, hit, wi, sky_env, diffuse_env,
                        prev_lit=prev_lit, prev_depth=prev_depth, view=view,
                        ircache_lookup=ircache_lookup,
-                       max_trace_steps=max_trace_steps)
+                       max_trace_steps=max_trace_steps, rng=rng)
     valid = gb_h["hit"].reshape(-1)
     # cosine-weighted estimator of E/pi is simply the sampled radiance
     return {

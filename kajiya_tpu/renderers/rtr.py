@@ -66,7 +66,7 @@ def trace_reflections(ts, gb, frame_idx, sky_env, diffuse_env,
     rad = hit_radiance(ts, hit, wi, sky_env, diffuse_env,
                        prev_lit=prev_lit, prev_depth=prev_depth, view=view,
                        ircache_lookup=ircache_lookup,
-                       max_trace_steps=max_trace_steps)
+                       max_trace_steps=max_trace_steps, rng=rng)
     valid = hitm.reshape(-1)
     return {
         "radiance": jnp.where(valid[:, None], rad, 0.0).reshape(hh, hw, 3),
@@ -111,13 +111,22 @@ def _resolve_full(half, gb, near: float = 0.01):
 
 def rtr_pipeline(ts, gb, view, frame_idx, state, reproj, sky_env, diffuse_env,
                  prev_lit=None, prev_depth=None, ircache_lookup=None,
-                 max_trace_steps=None, half=None):
+                 max_trace_steps=None, half=None, mesh_light_specular=False):
     """Full chain -> (specular radiance (H, W, 3), new_state)."""
     if half is None:
         half = trace_reflections(
             ts, gb, frame_idx, sky_env, diffuse_env, prev_lit=prev_lit,
             prev_depth=prev_depth, view=view, ircache_lookup=ircache_lookup,
             max_trace_steps=max_trace_steps)
+
+    if mesh_light_specular:
+        # explicit emissive-triangle specular added into the reflection
+        # stream pre-filtering (world_render_passes.rs:192-203)
+        from .lighting import sample_lights_specular
+
+        half = dict(half)
+        half["radiance"] = half["radiance"] + sample_lights_specular(
+            ts, gb, frame_idx, max_trace_steps=max_trace_steps)
 
     full, ray_len = _resolve_full(half, gb)
 

@@ -1,0 +1,135 @@
+"""View-app layer: sequencer, sun controller, camera rig, WRC, lighting, IBL."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from kajiya_tpu.apps.camera_rig import CameraRig
+from kajiya_tpu.apps.sequence import Sequence, SunController
+
+
+class TestSequence:
+    def test_interpolates_through_keys(self):
+        s = (Sequence()
+             .add(0.0, (0, 0, 0), (0, 0, -1))
+             .add(1.0, (1, 0, 0), (0, 0, -1))
+             .add(2.0, (1, 1, 0), (1, 0, 0)))
+        k = s.sample(0.0)
+        assert np.allclose(k.cam_pos, (0, 0, 0))
+        k = s.sample(2.0)
+        assert np.allclose(k.cam_pos, (1, 1, 0))
+        mid = s.sample(0.5)
+        assert 0.0 < mid.cam_pos[0] < 1.0
+        assert abs(np.linalg.norm(mid.cam_dir) - 1.0) < 1e-5
+
+    def test_roundtrip_dict(self):
+        s = Sequence().add(0, (0, 0, 0), (0, 0, -1), (0, 1, 0)).add(
+            1, (1, 0, 0), (0, 0, -1), (1, 1, 0))
+        d = s.to_dict()
+        s2 = Sequence.from_dict(d)
+        assert np.allclose(s2.sample(0.7).cam_pos, s.sample(0.7).cam_pos)
+
+    def test_sun_controller(self):
+        c = SunController()
+        d0 = c.direction.copy()
+        d1 = c.rotate(0.3, 0.1)
+        assert abs(np.linalg.norm(d1) - 1.0) < 1e-5
+        assert not np.allclose(d0, d1)
+        # elevation clamps below zenith
+        for _ in range(100):
+            c.rotate(0.0, 0.3)
+        assert c.direction[1] < 1.0
+
+
+class TestCameraRig:
+    def test_smooth_approach(self):
+        rig = CameraRig(position=(0, 0, 0))
+        rig.translate(0, 0, -5.0)
+        for _ in range(100):
+            pos, fwd = rig.update(1 / 60)
+        assert np.allclose(pos, rig.target_pos, atol=1e-2)
+        assert abs(np.linalg.norm(fwd) - 1.0) < 1e-5
+
+    def test_look_clamps_pitch(self):
+        rig = CameraRig()
+        rig.look(0.0, 10.0)
+        assert rig.target_pitch < np.pi / 2
+
+
+class TestWrc:
+    def test_trace_and_lookup(self):
+        from kajiya_tpu.renderers import wrc
+        from kajiya_tpu.scene.procedural import cornell_box
+        from kajiya_tpu.scene.scene import build_gpu_scene
+        from kajiya_tpu.sky.env import build_sky_env, convolve_diffuse
+        from kajiya_tpu.world import build_trace_scene
+
+        cfg = wrc.WrcConfig(grid=(2, 2, 2), probe_res=8,
+                            grid_spacing=1.0, grid_origin=(-0.5, -0.5, -0.5))
+        gpu = build_gpu_scene(cornell_box())
+        ts, _ = build_trace_scene(gpu)
+        sky = build_sky_env(gpu.sun_direction, 32)
+        dif = convolve_diffuse(sky, 8)
+        st = wrc.init_state(cfg)
+        st = wrc.trace_wrc(st, ts, sky, dif, 0, cfg, max_trace_steps=128,
+                           hysteresis=0.0)
+        atlas = np.asarray(st["wrc_atlas"])
+        assert atlas.shape == (8, 8, 8, 3)
+        assert np.isfinite(atlas).all()
+        assert atlas.max() > 0.0       # the ceiling light is visible somewhere
+        rad = wrc.lookup(st, cfg, jnp.zeros((4, 3)),
+                         jnp.tile(jnp.asarray([0.0, 1.0, 0.0]), (4, 1)))
+        assert rad.shape == (4, 3)
+
+    def test_see_through_runs(self):
+        from kajiya_tpu.renderers import wrc
+
+        cfg = wrc.WrcConfig(grid=(2, 2, 2), probe_res=8)
+        st = wrc.init_state(cfg)
+        st = {"wrc_atlas": st["wrc_atlas"] + 0.5}
+        out = wrc.see_through(st, cfg, jnp.zeros((4, 3)),
+                              jnp.tile(jnp.asarray([0.0, 0.0, -1.0]), (4, 1)))
+        assert out.shape == (4, 3)
+        assert np.isfinite(np.asarray(out)).all()
+
+
+class TestMeshLightSpecular:
+    def test_highlight_from_emissive(self):
+        from kajiya_tpu.core.camera import make_view_constants
+        from kajiya_tpu.renderers.gbuffer import raytrace_gbuffer
+        from kajiya_tpu.renderers.lighting import sample_lights_specular
+        from kajiya_tpu.scene.procedural import cornell_box
+        from kajiya_tpu.scene.scene import build_gpu_scene
+        from kajiya_tpu.world import build_trace_scene
+
+        scene = cornell_box(box_metallic=0.9, box_roughness=0.2)
+        gpu = build_gpu_scene(scene)
+        ts, _ = build_trace_scene(gpu)
+        view = make_view_constants((0, 0, 2.4), (0, 0, -1), width=64, height=48)
+        gb = raytrace_gbuffer(ts, view, 64, 48, max_trace_steps=256)
+        spec = np.asarray(sample_lights_specular(ts, gb, 0,
+                                                 max_trace_steps=256))
+        assert spec.shape == (24, 32, 3)
+        assert np.isfinite(spec).all()
+        assert spec.max() > 0.0
+
+
+class TestIblHdr:
+    def test_hdr_roundtrip(self, tmp_path):
+        """Write a tiny flat-format .hdr and decode it."""
+        from kajiya_tpu.sky.ibl import load_hdr, panorama_to_env
+
+        h, w = 4, 4
+        rgbe = np.zeros((h, w, 4), np.uint8)
+        # value 1.0 -> mantissa 128, exponent 129 (0.5*2^(129-128)=1.0)
+        rgbe[..., :3] = 128
+        rgbe[..., 3] = 129
+        header = b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n" + \
+            f"-Y {h} +X {w}\n".encode()
+        p = tmp_path / "t.hdr"
+        p.write_bytes(header + rgbe.tobytes())
+        img = load_hdr(str(p))
+        assert img.shape == (4, 4, 3)
+        np.testing.assert_allclose(img, 1.0, rtol=1e-6)
+        env = panorama_to_env(img, res=16)
+        assert env.shape == (16, 16, 3)
+        np.testing.assert_allclose(np.asarray(env), 1.0, rtol=1e-6)
