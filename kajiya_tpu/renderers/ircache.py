@@ -221,6 +221,8 @@ def trace_update(state, ts, sky_env, diffuse_env, eye, frame_idx,
                        ircache_lookup=cache_lookup,
                        max_trace_steps=max_trace_steps, rng=rngs)
     rad = jnp.where(live_r[:, None], rad, 0.0)
+    # fusion fence (see barrier note below)
+    rad, d = jax.lax.optimization_barrier((rad, d))
 
     # project onto SH: L_lm = (4pi / S) * sum radiance * Y_lm(d)
     y = jnp.stack([jnp.full_like(d[:, 0], _Y00),
@@ -233,6 +235,11 @@ def trace_update(state, ts, sky_env, diffuse_env, eye, frame_idx,
     alpha = (1.0 / jnp.maximum(life, 1.0))[:, None, None]
     sh = state["ircache_sh"] * (1 - alpha) + sh_new * alpha
     sh = jnp.where(live[:, None, None], sh, 0.0)
+
+    # fence the cache-update subgraph: the TPU backend's priority-fusion
+    # cost model has been observed to crash (SIGILL) when this wavefront is
+    # fused into the surrounding frame; the barrier bounds fusion scope
+    sh, life = jax.lax.optimization_barrier((sh, life))
 
     out = dict(state)
     out["ircache_sh"] = sh

@@ -132,15 +132,26 @@ def restir_diffuse(state, candidates, gb_h, reproj, frame_idx,
     cur = rsv.merge(cur, prev_f, p_hat_t, u,
                     mask=(validity > 0.5) & candidates["valid"])
 
-    # ---- spatial x2 (restir_spatial.hlsl): static jittered neighbor taps
-    offsets = [((1, 2), (-2, 1), (2, -1), (-1, -2)),
-               ((3, 5), (-5, 3), (5, -3), (-3, -5))]
-    for pi, taps in enumerate(offsets):
+    # ---- spatial x2 (restir_spatial.hlsl): per-pixel randomized spiral taps
+    # (random rotation per pixel/frame decorrelates the reuse pattern — the
+    # reference rotates its spiral kernel the same way)
+    row = jnp.arange(hh)[:, None] * jnp.ones((1, hw), jnp.int32)
+    col = jnp.ones((hh, 1), jnp.int32) * jnp.arange(hw)[None, :]
+    ssao_r = 1.0 if ssao_h is None else (0.4 + 0.6 * ssao_h)
+    for radius in (4.0, 10.0):
         merged = cur
-        for (dy, dx) in taps:
-            nb = jax.tree_util.tree_map(lambda x: _shift2(x, dy, dx), cur)
-            n_nb = _shift2(n, dy, dx)
-            vz_nb = _shift2(vz, dy, dx)
+        for k in range(4):
+            u_a, rng = rng_mod.rand_u01(rng)
+            u_r, rng = rng_mod.rand_u01(rng)
+            ang = 2.0 * jnp.pi * (k / 4.0 + u_a * 0.25)
+            r = (1.0 + jnp.sqrt(u_r) * radius) * ssao_r
+            dy = jnp.round(jnp.sin(ang) * r).astype(jnp.int32)
+            dx = jnp.round(jnp.cos(ang) * r).astype(jnp.int32)
+            iy = jnp.clip(row + dy, 0, hh - 1)
+            ix = jnp.clip(col + dx, 0, hw - 1)
+            nb = jax.tree_util.tree_map(lambda x: x[iy, ix], cur)
+            n_nb = n[iy, ix]
+            vz_nb = vz[iy, ix]
             ok = _geo_weight(vz, vz_nb, n, n_nb) & candidates["valid"]
             p_hat_nb = _p_hat(nb["payload"]["radiance"], nb["payload"]["dir"], n)
             nb = rsv.clamp_m(nb, M_CLAMP_SPATIAL * M_CLAMP_TEMPORAL)

@@ -121,7 +121,8 @@ def rtdgi_pipeline(ts, gb, view, frame_idx, state, reproj, sky_env,
         from . import restir_gi
 
         res, new_restir_state = restir_gi.restir_diffuse(
-            restir_state, candidates, gb_h, reproj, frame_idx)
+            restir_state, candidates, gb_h, reproj, frame_idx,
+            ssao_h=None if ssao is None else ssao[::2, ::2])
         full = restir_gi.resolve(res, gb)
     else:
         new_restir_state = restir_state
