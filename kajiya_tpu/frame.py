@@ -57,6 +57,11 @@ class RenderConfig:
     debug_mode: str = "none"             # deferred.DEBUG_MODES
     ev_shift: float = 0.0
     dt: float = 1.0 / 60.0
+    # RenderOverrides (rust-shaders-shared/src/render_overrides.rs:1-37)
+    force_face_normals: bool = False
+    no_normal_maps: bool = False
+    no_metal: bool = False
+    roughness_scale: float = 1.0
 
     @property
     def out_width(self):
@@ -129,6 +134,15 @@ def render_frame(ts, state, view: ViewConstants, cfg: RenderConfig,
 
     # --- primary visibility ("raster simple")
     gb = gbuffer.raytrace_gbuffer(ts, view, w, h, max_trace_steps=mts)
+
+    # --- render overrides (debug isolation knobs, render_overrides.rs)
+    if cfg.force_face_normals:
+        gb = dict(gb, normal=gb["geo_normal"])
+    if cfg.no_metal:
+        gb = dict(gb, metallic=jnp.zeros_like(gb["metallic"]))
+    if cfg.roughness_scale != 1.0:
+        gb = dict(gb, roughness=jnp.clip(
+            gb["roughness"] * cfg.roughness_scale, 1e-3, 1.0))
 
     # --- reprojection map
     reproj = reprojection.calculate_reprojection_map(

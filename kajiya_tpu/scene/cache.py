@@ -36,21 +36,32 @@ def save_packed(mesh: PackedMesh, out: str):
         m.base_color, m.emissive,
         np.asarray([m.metallic, m.roughness], np.float32)])
         for m in mesh.materials])
+    mat_tex = np.asarray([[m.base_color_texture, m.mr_texture,
+                           m.normal_texture, m.emissive_texture]
+                          for m in mesh.materials], np.int32)
     np.savez(out, positions=mesh.positions, normals=mesh.normals,
              uvs=mesh.uvs, tangents=mesh.tangents, colors=mesh.colors,
              indices=mesh.indices,
-             material_ids=mesh.material_ids, materials=mat)
+             material_ids=mesh.material_ids, materials=mat,
+             mat_tex=mat_tex,
+             image_paths=np.asarray(mesh.image_paths, dtype=object))
 
 
 def load_packed(path: str) -> PackedMesh:
-    z = np.load(path)
+    z = np.load(path, allow_pickle=True)
+    tex = (z["mat_tex"] if "mat_tex" in z.files
+           else np.full((len(z["materials"]), 4), -1, np.int32))
     mats = [Material(base_color=row[0:4], emissive=row[4:7],
-                     metallic=float(row[7]), roughness=float(row[8]))
-            for row in z["materials"]]
+                     metallic=float(row[7]), roughness=float(row[8]),
+                     base_color_texture=int(t[0]), mr_texture=int(t[1]),
+                     normal_texture=int(t[2]), emissive_texture=int(t[3]))
+            for row, t in zip(z["materials"], tex)]
+    paths = (list(z["image_paths"]) if "image_paths" in z.files else [])
     return PackedMesh(positions=z["positions"], normals=z["normals"],
                       uvs=z["uvs"], tangents=z["tangents"],
                       colors=z["colors"], indices=z["indices"],
-                      material_ids=z["material_ids"], materials=mats)
+                      material_ids=z["material_ids"], materials=mats,
+                      image_paths=paths)
 
 
 def load_mesh_cached(path: str) -> PackedMesh:
