@@ -64,16 +64,24 @@ def main():
     for metric, kw in attempts:
         cfg = RenderConfig(width=WIDTH, height=HEIGHT, max_trace_steps=96, **kw)
         state = init_frame_state(cfg)
-        step = jax.jit(
-            lambda s, _cfg=cfg: render_frame(ts, s, view, _cfg, levels=levels))
-        try:
-            ms = _time_step(step, state)
-            result = {"metric": metric, "value": round(ms, 3), "unit": "ms",
-                      "vs_baseline": round(ms / BASELINE_MS, 3)}
+        # the remote compiler's SIGILL is flaky (graph-hash sensitive):
+        # retry the same config before degrading
+        for attempt in range(2):
+            step = jax.jit(
+                lambda s, _cfg=cfg: render_frame(ts, s, view, _cfg,
+                                                 levels=levels))
+            try:
+                ms = _time_step(step, state)
+                result = {"metric": metric, "value": round(ms, 3),
+                          "unit": "ms",
+                          "vs_baseline": round(ms / BASELINE_MS, 3)}
+                break
+            except Exception as e:
+                print(f"# {metric} attempt {attempt} failed: "
+                      f"{type(e).__name__}: {str(e)[:120]}", file=sys.stderr)
+                time.sleep(15)
+        if result is not None:
             break
-        except Exception as e:
-            print(f"# {metric} failed: {type(e).__name__}: {str(e)[:120]}",
-                  file=sys.stderr)
 
     if result is None:
         # last resort: primary-visibility gbuffer only

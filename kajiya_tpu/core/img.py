@@ -132,6 +132,88 @@ def separable_blur(img, taps):
 GAUSS5 = (0.0625, 0.25, 0.375, 0.25, 0.0625)
 
 
+# ----------------------------------------------------------------------------
+# Gather-free regular-pattern sampling. XLA's TPU gather costs ~10ns/element;
+# the renderer's most common "samples" are (a) whole-image constant sub-pixel
+# shifts (TAA jitter compensation) and (b) exact 2x phase-aligned up/down
+# sampling (half-res GI resolves). Both are static shifts + interleaves.
+# ----------------------------------------------------------------------------
+
+def sample_const_offset(img, dx_px, dy_px):
+    """Bilinear sample of the whole image at a CONSTANT pixel offset in
+    [-1, 1] (traced scalars ok). Gather-free: blends 3x3 static shifts with
+    offset-derived weights."""
+    fx = dx_px - jnp.floor(dx_px)
+    fy = dy_px - jnp.floor(dy_px)
+    # floor in {-1, 0} for offsets in [-1, 1]: select shifted planes
+    neg_x = (jnp.floor(dx_px) < 0)
+    neg_y = (jnp.floor(dy_px) < 0)
+
+    def axis_blend(a, m1, z, p1, f, neg):
+        lo = jnp.where(neg, m1, z)
+        hi = jnp.where(neg, z, p1)
+        return lo * (1 - f) + hi * f
+
+    if img.ndim == 3:
+        fx_b, fy_b = fx[..., None], fy[..., None]
+    else:
+        fx_b, fy_b = fx, fy
+    # x axis
+    xm1, x0, xp1 = shift2d(img, 0, -1), img, shift2d(img, 0, 1)
+    row = axis_blend(img, xm1, x0, xp1, fx_b, neg_x)
+    ym1, y0, yp1 = shift2d(row, -1, 0), row, shift2d(row, 1, 0)
+    return axis_blend(row, ym1, y0, yp1, fy_b, neg_y)
+
+
+def interleave_rows(a, b):
+    """out[2i] = a[i], out[2i+1] = b[i]."""
+    h, w = a.shape[0], a.shape[1]
+    return jnp.stack([a, b], axis=1).reshape((2 * h, w) + a.shape[2:])
+
+
+def interleave_cols(a, b):
+    h, w = a.shape[0], a.shape[1]
+    return jnp.stack([a, b], axis=2).reshape((h, 2 * w) + a.shape[2:])
+
+
+def half_to_full_taps(half):
+    """The four half-res taps of every full-res pixel's bilinear footprint
+    under the standard pixel-center mapping (x_h = X/2 - 0.25), as FULL-RES
+    images built by interleaving static shifts — the gather-free form of
+    `bilinear_weights_and_indices` for an exact 2x upsample.
+
+    Returns (taps, weights): 4 full-res arrays (2h, 2w, ...) and 4 scalar-
+    pattern weight arrays (2h, 2w)."""
+    hh, hw = half.shape[0], half.shape[1]
+
+    def tap(ky, kx):
+        # phase py: row tap = i + ky + py - 1
+        rows = [shift2d(half, ky - 1 + py, 0) for py in (0, 1)]
+        r = interleave_rows(rows[0], rows[1])
+        cols = [shift2d(r, 0, kx - 1 + px) for px in (0, 1)]
+        return interleave_cols(cols[0], cols[1])
+
+    taps = [tap(0, 0), tap(0, 1), tap(1, 0), tap(1, 1)]
+
+    wy0 = jnp.tile(jnp.asarray([0.25, 0.75], jnp.float32), hh)      # (2h,)
+    wx0 = jnp.tile(jnp.asarray([0.25, 0.75], jnp.float32), hw)
+    wy = [wy0[:, None], (1.0 - wy0)[:, None]]
+    wx = [wx0[None, :], (1.0 - wx0)[None, :]]
+    weights = [wy[0] * wx[0], wy[0] * wx[1], wy[1] * wx[0], wy[1] * wx[1]]
+    weights = [jnp.broadcast_to(w, (2 * hh, 2 * hw)) for w in weights]
+    return taps, weights
+
+
+def upsample2x_bilinear(img):
+    """Exact 2x bilinear upsample, gather-free."""
+    taps, weights = half_to_full_taps(img)
+    acc = None
+    for t, w in zip(taps, weights):
+        ww = w[..., None] if img.ndim == 3 else w
+        acc = t * ww if acc is None else acc + t * ww
+    return acc
+
+
 def local_moments_3x3(img):
     """Per-pixel mean and variance over the 3x3 neighborhood (single channel
     or per-channel); the workhorse of temporal variance clamps."""

@@ -48,6 +48,8 @@ class RenderConfig:
     use_ssao: bool = True
     use_taa: bool = True
     use_ircache: bool = True
+    ircache_feeds_gi: bool = True   # False: update the cache but keep the
+                                    # GI passes on the sky fallback (debug)
     use_restir_gi: bool = True
     use_mesh_light_specular: bool = False   # auto-enabled by Renderer when
                                             # the scene has emissive lights
@@ -154,8 +156,13 @@ def render_frame(ts, state, view: ViewConstants, cfg: RenderConfig,
     ir_state = {k: v for k, v in state.items() if k.startswith("ircache_")}
     if cfg.use_ircache and ircache_lookup is None:
         eye = view.eye_position
-        q_pos = gb["pos"][::4, ::4].reshape(-1, 3)
-        q_mask = gb["hit"][::4, ::4].reshape(-1)
+        # bounded query budget independent of resolution (the reference's
+        # allocation is likewise output-sensitive but budgeted)
+        sy = 4
+        while (h // sy) * (w // sy) > 32768:
+            sy *= 2
+        q_pos = gb["pos"][::sy, ::sy].reshape(-1, 3)
+        q_mask = gb["hit"][::sy, ::sy].reshape(-1)
         grid0 = ircache.build_grid(ir_state, eye, cfg.ircache)
         ir_state = ircache.allocate(ir_state, grid0, q_pos, q_mask, eye,
                                     frame_idx, cfg.ircache)
@@ -167,6 +174,9 @@ def render_frame(ts, state, view: ViewConstants, cfg: RenderConfig,
         def ircache_lookup(p, n, _st=ir_state, _g=ir_grid, _e=eye):
             return ircache.lookup_irradiance(_st, _g, p, n, _e, diffuse_env,
                                              cfg.ircache)
+
+        if not cfg.ircache_feeds_gi:
+            ircache_lookup = None
 
     # --- ssao
     if cfg.use_ssao:

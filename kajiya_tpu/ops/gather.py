@@ -1,0 +1,58 @@
+"""Fast row gathers: one-hot MXU matmuls for small tables.
+
+XLA's native gather on TPU walks elements at HBM-latency (~ns/element); for
+the renderer's attribute fetches (vertices, normals, uvs, materials of a
+trace batch) the tables are small, so gathering as
+    onehot(idx, V) @ table        -- (R, V) @ (V, C)
+turns a latency-bound loop into MXU work. Blocked over rays so the one-hot
+never materializes beyond a (B, V) tile. Falls back to plain indexing for
+large tables.
+
+This is the same trick the Woop intersector plays for intersection: recast
+irregular access as dense matmul, which is the TPU's native tongue.
+"""
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+ONEHOT_MAX_ROWS = 2048      # above this, one-hot matmuls lose to HBM gather
+RAY_BLOCK = 32768
+
+# escape hatch while chasing TPU-compiler interactions
+_DISABLE = os.environ.get("KAJIYA_TPU_DISABLE_ONEHOT_GATHER") == "1"
+
+
+def gather_rows(table, idx):
+    """table: (V, C) or (V,) float/int; idx: (R,) int32 (assumed in-bounds).
+    Returns table[idx] computed the fast way for the table size. Integer
+    tables ride the same path via exact f32 matmul (values < 2^24)."""
+    v = table.shape[0]
+    if _DISABLE or v > ONEHOT_MAX_ROWS:
+        return table[idx]
+    as_int = table.dtype.kind in "iu"
+    if not as_int and table.dtype.kind != "f":
+        return table[idx]
+    squeeze = table.ndim == 1
+    tab = table[:, None] if squeeze else table
+    if as_int:
+        tab = tab.astype(jnp.float32)
+    r = idx.shape[0]
+    pad = (-r) % RAY_BLOCK
+    idx_p = jnp.concatenate([idx, jnp.zeros((pad,), idx.dtype)]) if pad else idx
+    nb = idx_p.shape[0] // RAY_BLOCK
+
+    def chunk(carry, ib):
+        one = jax.nn.one_hot(ib, v, dtype=tab.dtype)          # (B, V)
+        out = jnp.dot(one, tab, preferred_element_type=jnp.float32)
+        return carry, out
+
+    _, out = jax.lax.scan(chunk, 0, idx_p.reshape(nb, RAY_BLOCK))
+    out = out.reshape(-1, tab.shape[1])[:r]
+    if as_int:
+        out = jnp.round(out).astype(table.dtype)
+    else:
+        out = out.astype(table.dtype)
+    return out[:, 0] if squeeze else out

@@ -51,15 +51,18 @@ def raytrace_gbuffer(ts: TraceScene, view: ViewConstants, width: int, height: in
 
     # velocity: reproject the same surface point under the PREVIOUS instance
     # transform and previous camera (raster_simple_vs.hlsl behavior)
+    from ..ops.gather import gather_rows
+
     gpu = ts.gpu
     tri = jnp.maximum(hit.tri, 0)
-    inst = gpu.tri_inst[tri]
-    idx = gpu.tri_idx[tri]
+    inst = gather_rows(gpu.tri_inst, tri)
+    idx = gather_rows(gpu.tri_idx, tri)
     w = 1.0 - hit.u - hit.v
-    obj_pos = (gpu.verts_obj[idx[:, 0]] * w[:, None]
-               + gpu.verts_obj[idx[:, 1]] * hit.u[:, None]
-               + gpu.verts_obj[idx[:, 2]] * hit.v[:, None])
-    xf_prev = gpu.xforms_prev[inst]
+    obj_pos = (gather_rows(gpu.verts_obj, idx[:, 0]) * w[:, None]
+               + gather_rows(gpu.verts_obj, idx[:, 1]) * hit.u[:, None]
+               + gather_rows(gpu.verts_obj, idx[:, 2]) * hit.v[:, None])
+    xf_prev = gather_rows(
+        gpu.xforms_prev.reshape(-1, 12), inst).reshape(-1, 3, 4)
     world_prev = jnp.einsum("rij,rj->ri", xf_prev[:, :, :3], obj_pos) + xf_prev[:, :, 3]
 
     clip_cur = _project(view.world_to_clip, pos)

@@ -105,22 +105,27 @@ def hit_attributes(ts: TraceScene, hit, ray_dir, mip: int = 0):
 
     `mip` selects the texture mip (primary rays 0; secondary rays pass a
     coarser level — the ray-cone LOD role of `inc/ray_cone.hlsl`)."""
+    from .ops.gather import gather_rows
+
     gpu = ts.gpu
     tri = jnp.maximum(hit.tri, 0)
-    idx = gpu.tri_idx[tri]                       # (R, 3)
-    n0 = ts.vnormals[idx[:, 0]]
-    n1 = ts.vnormals[idx[:, 1]]
-    n2 = ts.vnormals[idx[:, 2]]
+    idx = gather_rows(gpu.tri_idx, tri)          # (R, 3)
+    n0 = gather_rows(ts.vnormals, idx[:, 0])
+    n1 = gather_rows(ts.vnormals, idx[:, 1])
+    n2 = gather_rows(ts.vnormals, idx[:, 2])
     w = 1.0 - hit.u - hit.v
     normal = n0 * w[:, None] + n1 * hit.u[:, None] + n2 * hit.v[:, None]
     normal = normal / jnp.maximum(jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-8)
 
-    uv0 = gpu.uvs[idx[:, 0]]
-    uv1 = gpu.uvs[idx[:, 1]]
-    uv2 = gpu.uvs[idx[:, 2]]
+    uv0 = gather_rows(gpu.uvs, idx[:, 0])
+    uv1 = gather_rows(gpu.uvs, idx[:, 1])
+    uv2 = gather_rows(gpu.uvs, idx[:, 2])
     uv = uv0 * w[:, None] + uv1 * hit.u[:, None] + uv2 * hit.v[:, None]
 
-    geo_n = jnp.cross(ts.e1[tri], ts.e2[tri])
+    e1_t = gather_rows(ts.e1, tri)
+    e2_t = gather_rows(ts.e2, tri)
+    v0_t = gather_rows(ts.v0, tri)
+    geo_n = jnp.cross(e1_t, e2_t)
     geo_n = geo_n / jnp.maximum(jnp.linalg.norm(geo_n, axis=-1, keepdims=True), 1e-8)
     # orient both normals against the incoming ray (double-sided materials)
     flip = jnp.sign(-jnp.sum(geo_n * ray_dir, axis=-1))[:, None]
@@ -128,13 +133,13 @@ def hit_attributes(ts: TraceScene, hit, ray_dir, mip: int = 0):
     geo_n = geo_n * flip
     normal = jnp.where((jnp.sum(normal * geo_n, axis=-1) < 0.0)[:, None], -normal, normal)
 
-    mat = gpu.tri_mat[tri]
-    pos = ts.v0[tri] + ts.e1[tri] * hit.u[:, None] + ts.e2[tri] * hit.v[:, None]
+    mat = gather_rows(gpu.tri_mat, tri)
+    pos = v0_t + e1_t * hit.u[:, None] + e2_t * hit.v[:, None]
 
-    base_color = gpu.mat_base_color[mat][:, :3]
-    metallic = gpu.mat_metallic[mat]
-    roughness = gpu.mat_roughness[mat]
-    emissive = gpu.mat_emissive[mat]
+    base_color = gather_rows(gpu.mat_base_color, mat)[:, :3]
+    metallic = gather_rows(gpu.mat_metallic, mat)
+    roughness = gather_rows(gpu.mat_roughness, mat)
+    emissive = gather_rows(gpu.mat_emissive, mat)
     if gpu.tex_pages is not None:
         # manual texture fetch (bindless sampling equivalent; gltf packs
         # roughness in G and metalness in B of the MR map)
