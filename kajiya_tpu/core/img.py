@@ -102,8 +102,12 @@ def downsample_nearest(img):
 
 
 def upsample_bilinear(img, out_h: int, out_w: int):
-    uv = pixel_uv(out_h, out_w)
-    return sample_bilinear(img, uv)
+    """Bilinear resize. Exact 2x goes through the gather-free phase weave;
+    other factors use jax.image.resize (weight-matrix tensordots on TPU —
+    far faster than per-pixel gathers)."""
+    if out_h == img.shape[0] * 2 and out_w == img.shape[1] * 2:
+        return upsample2x_bilinear(img)
+    return jax.image.resize(img, (out_h, out_w) + img.shape[2:], "bilinear")
 
 
 def shift2d(img, dy: int, dx: int):

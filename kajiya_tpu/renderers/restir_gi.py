@@ -164,36 +164,28 @@ def restir_diffuse(state, candidates, gb_h, reproj, frame_idx,
 
 def resolve(reservoir, gb, near: float = 0.01):
     """Half-res reservoirs -> full-res E/pi (restir_resolve.hlsl): 4-tap
-    joint-bilateral gather; each reservoir contributes its unbiased
-    estimator L * cos(n_full, dir) * W."""
-    h, w = gb["depth"].shape
-    uv = im.pixel_uv(h, w)
-    rad = reservoir["payload"]["radiance"]
-    dirs = reservoir["payload"]["dir"]
-    W = reservoir["W"]
-    hh, hw = W.shape
-
-    iy, ix, wbl = im.bilinear_weights_and_indices((hh, hw), uv)
-    iy = jnp.clip(iy, 0, hh - 1)
-    ix = jnp.clip(ix, 0, hw - 1)
-
+    joint-bilateral footprint built gather-free (phase weave); each
+    reservoir contributes its unbiased estimator L * cos(n_full, dir) * W."""
     vz = near / jnp.maximum(gb["depth"], 1e-12)
     vz_h = near / jnp.maximum(gb["depth"][::2, ::2], 1e-12)
     n_full = gb["normal"]
     n_h = gb["normal"][::2, ::2]
 
-    acc = jnp.zeros((h, w, 3), jnp.float32)
-    accw = jnp.zeros((h, w), jnp.float32)
-    for k in range(4):
-        y, x, bw = iy[..., k], ix[..., k], wbl[..., k]
-        zz = vz_h[y, x]
-        nn = n_h[y, x]
+    rad_t, weights = im.half_to_full_taps(reservoir["payload"]["radiance"])
+    dir_t, _ = im.half_to_full_taps(reservoir["payload"]["dir"])
+    w_t, _ = im.half_to_full_taps(reservoir["W"])
+    z_t, _ = im.half_to_full_taps(vz_h)
+    n_t, _ = im.half_to_full_taps(n_h)
+
+    acc = jnp.zeros_like(rad_t[0])
+    accw = jnp.zeros_like(w_t[0])
+    for rad, dirs, ww, zz, nn, bw in zip(rad_t, dir_t, w_t, z_t, n_t,
+                                         weights):
         w_z = jnp.exp(-jnp.abs(zz - vz) / (0.05 * vz + 1e-4))
         w_n = jnp.maximum(jnp.sum(nn * n_full, axis=-1), 0.0) ** 8
         wt = bw * w_z * w_n + 1e-6
-        cosf = jnp.maximum(jnp.sum(dirs[y, x] * n_full, axis=-1), 0.0)
-        est = rad[y, x] * (cosf * W[y, x])[..., None]
-        acc = acc + est * wt[..., None]
+        cosf = jnp.maximum(jnp.sum(dirs * n_full, axis=-1), 0.0)
+        acc = acc + rad * (cosf * ww * wt)[..., None]
         accw = accw + wt
     # estimator integrates L cos / pdf == pi * E/pi; divide by pi
     return acc / accw[..., None] / jnp.pi

@@ -78,26 +78,20 @@ def trace_candidates(ts, gb_h, frame_idx, sky_env, diffuse_env,
 
 def _edge_aware_upsample(half_img, gb, near: float = 0.01):
     """Half->full resolve guided by depth+normal (restir_resolve.hlsl's
-    role, simplified to a joint-bilateral 4-tap gather)."""
-    h, w = gb["depth"].shape
-    uv = im.pixel_uv(h, w)
-    iy, ix, wbl = im.bilinear_weights_and_indices(half_img.shape[:2], uv)
-
+    role): joint-bilateral over the 4-tap footprint, built GATHER-FREE from
+    phase-interleaved static shifts (core/img.py::half_to_full_taps)."""
     vz = near / jnp.maximum(gb["depth"], 1e-12)
     vz_h = near / jnp.maximum(gb["depth"][::2, ::2], 1e-12)
     n_full = gb["normal"]
     n_h = gb["normal"][::2, ::2]
 
-    hh, hw = half_img.shape[:2]
-    iy = jnp.clip(iy, 0, hh - 1)
-    ix = jnp.clip(ix, 0, hw - 1)
-    acc = jnp.zeros((h, w, half_img.shape[-1]), jnp.float32)
-    accw = jnp.zeros((h, w), jnp.float32)
-    for k in range(4):
-        y, x, bw = iy[..., k], ix[..., k], wbl[..., k]
-        v = half_img[y, x]
-        zz = vz_h[y, x]
-        nn = n_h[y, x]
+    v_taps, weights = im.half_to_full_taps(half_img)
+    z_taps, _ = im.half_to_full_taps(vz_h)
+    n_taps, _ = im.half_to_full_taps(n_h)
+
+    acc = jnp.zeros_like(v_taps[0])
+    accw = jnp.zeros(v_taps[0].shape[:2], jnp.float32)
+    for v, zz, nn, bw in zip(v_taps, z_taps, n_taps, weights):
         w_z = jnp.exp(-jnp.abs(zz - vz) / (0.05 * vz + 1e-4))
         w_n = jnp.maximum(jnp.sum(nn * n_full, axis=-1), 0.0) ** 8
         wt = bw * w_z * w_n + 1e-6

@@ -78,28 +78,21 @@ def trace_reflections(ts, gb, frame_idx, sky_env, diffuse_env,
 
 def _resolve_full(half, gb, near: float = 0.01):
     """Half->full joint-bilateral resolve, roughness-aware (role of
-    `rtr/resolve.hlsl`'s BRDF-footprint gather)."""
-    h, w = gb["depth"].shape
-    uv = im.pixel_uv(h, w)
-    iy, ix, wbl = im.bilinear_weights_and_indices(half["radiance"].shape[:2], uv)
-    hh, hw = half["radiance"].shape[:2]
-    iy = jnp.clip(iy, 0, hh - 1)
-    ix = jnp.clip(ix, 0, hw - 1)
-
+    `rtr/resolve.hlsl`'s BRDF-footprint gather) — gather-free phase weave."""
     vz = near / jnp.maximum(gb["depth"], 1e-12)
     vz_h = near / jnp.maximum(gb["depth"][::2, ::2], 1e-12)
     n_full = gb["normal"]
     n_h = gb["normal"][::2, ::2]
 
-    acc = jnp.zeros((h, w, 3), jnp.float32)
-    acct = jnp.zeros((h, w), jnp.float32)
-    accw = jnp.zeros((h, w), jnp.float32)
-    for k in range(4):
-        y, x, bw = iy[..., k], ix[..., k], wbl[..., k]
-        v = half["radiance"][y, x]
-        t = half["ray_t"][y, x]
-        zz = vz_h[y, x]
-        nn = n_h[y, x]
+    v_taps, weights = im.half_to_full_taps(half["radiance"])
+    t_taps, _ = im.half_to_full_taps(half["ray_t"])
+    z_taps, _ = im.half_to_full_taps(vz_h)
+    n_taps, _ = im.half_to_full_taps(n_h)
+
+    acc = jnp.zeros_like(v_taps[0])
+    acct = jnp.zeros_like(t_taps[0])
+    accw = jnp.zeros_like(t_taps[0])
+    for v, t, zz, nn, bw in zip(v_taps, t_taps, z_taps, n_taps, weights):
         w_z = jnp.exp(-jnp.abs(zz - vz) / (0.05 * vz + 1e-4))
         w_n = jnp.maximum(jnp.sum(nn * n_full, axis=-1), 0.0) ** 16
         wt = bw * w_z * w_n + 1e-6

@@ -29,24 +29,33 @@ def taa(input_img, state, reproj, jitter_px, out_h: int, out_w: int):
     """input_img: (H, W, 3) lit radiance at render res. Returns
     ((out_h, out_w, 3) antialiased, new_state)."""
     h, w = input_img.shape[:2]
-    uv_out = im.pixel_uv(out_h, out_w)
+    same_res = (out_h == h and out_w == w)
 
     # --- fetch input at output res, compensating the sub-pixel jitter
-    # (taa.hlsl samples input with the jitter removed)
-    jitter_uv = jnp.stack([jitter_px[0] / w, jitter_px[1] / h])
-    input_up = im.sample_bilinear(input_img, uv_out - jitter_uv)
-
-    # --- reproject history through the velocity of the closest surface
-    prev_uv = im.sample_bilinear(reproj["prev_uv"], uv_out)
-    validity = im.sample_bilinear(reproj["validity"], uv_out)
-    history = im.sample_bilinear(state["taa_history"], prev_uv)
-    hist_valid = im.sample_bilinear(state["taa_valid"], prev_uv) * validity
-
-    # --- neighborhood statistics of the input in YCbCr (filter_input pass)
+    # (taa.hlsl samples input with the jitter removed). At native res this
+    # is a constant sub-pixel shift -> gather-free static-shift blend.
     inp_ycc = lin_to_ycbcr(input_img)
     m1, var = im.local_moments_3x3(inp_ycc)
-    m1_up = im.sample_bilinear(m1, uv_out - jitter_uv)
-    var_up = jnp.maximum(im.sample_bilinear(var, uv_out - jitter_uv), 0.0)
+    if same_res:
+        input_up = im.sample_const_offset(input_img, -jitter_px[0],
+                                          -jitter_px[1])
+        m1_up = im.sample_const_offset(m1, -jitter_px[0], -jitter_px[1])
+        var_up = jnp.maximum(
+            im.sample_const_offset(var, -jitter_px[0], -jitter_px[1]), 0.0)
+        prev_uv = reproj["prev_uv"]
+        validity = reproj["validity"]
+    else:
+        uv_out = im.pixel_uv(out_h, out_w)
+        jitter_uv = jnp.stack([jitter_px[0] / w, jitter_px[1] / h])
+        input_up = im.sample_bilinear(input_img, uv_out - jitter_uv)
+        m1_up = im.sample_bilinear(m1, uv_out - jitter_uv)
+        var_up = jnp.maximum(im.sample_bilinear(var, uv_out - jitter_uv), 0.0)
+        prev_uv = im.sample_bilinear(reproj["prev_uv"], uv_out)
+        validity = im.sample_bilinear(reproj["validity"], uv_out)
+
+    # --- reproject history through the velocity of the closest surface
+    history = im.sample_bilinear(state["taa_history"], prev_uv)
+    hist_valid = im.sample_bilinear(state["taa_valid"], prev_uv) * validity
     sigma = jnp.sqrt(var_up)
 
     # --- soft clamp history toward the input neighborhood box
@@ -60,7 +69,7 @@ def taa(input_img, state, reproj, jitter_px, out_h: int, out_w: int):
     history_c = ycbcr_to_lin(hist_ycc)
 
     # --- blend factor: long history -> small alpha; invalid -> take input
-    vel = prev_uv - uv_out
+    vel = prev_uv - im.pixel_uv(out_h, out_w)
     speed = jnp.linalg.norm(vel * jnp.array([w, h], jnp.float32), axis=-1)
     base_alpha = 1.0 / 8.0
     alpha = base_alpha + jnp.clip(speed * 0.05, 0.0, 0.5)
