@@ -128,11 +128,25 @@ def render_frame(ts, state, view: ViewConstants, cfg: RenderConfig,
     if levels is not None:
         ts = refresh_trace_scene(ts.gpu, ts.bvh, levels)
 
-    # --- sky cube + convolve (sky.rs); an IBL env map replaces the
-    # procedural atmosphere when provided (ibl.rs:18-85)
-    sky_env = (ibl_env if ibl_env is not None
-               else sky_env_mod.build_sky_env(ts.gpu.sun_direction))
-    diffuse_env = sky_env_mod.convolve_diffuse(sky_env)
+    # --- sky + convolve (sky.rs); an IBL env map replaces the procedural
+    # atmosphere when provided (ibl.rs:18-85). Gather-free forms: the
+    # diffuse term becomes an L2-SH polynomial; the procedural sky is
+    # evaluated analytically per direction instead of fetched from a map.
+    if ibl_env is not None:
+        sky_env = ibl_env
+        sky_env_bg = ibl_env
+        diffuse_env = sky_env_mod.sh9_irradiance_fn(
+            sky_env_mod.project_sh9(ibl_env))
+    else:
+        from .sky.atmosphere import sky_radiance
+
+        sun_dir = ts.gpu.sun_direction
+        sky_env_bg = lambda d: sky_radiance(d, sun_dir)         # noqa: E731
+        # secondary rays see a cheaper march (smooth sky; they get averaged)
+        sky_env = lambda d: sky_radiance(d, sun_dir, steps=6)   # noqa: E731
+        small = sky_env_mod.build_sky_env(sun_dir, res=32)
+        diffuse_env = sky_env_mod.sh9_irradiance_fn(
+            sky_env_mod.project_sh9(small))
 
     # --- primary visibility ("raster simple")
     gb = gbuffer.raytrace_gbuffer(ts, view, w, h, max_trace_steps=mts)
@@ -238,9 +252,18 @@ def render_frame(ts, state, view: ViewConstants, cfg: RenderConfig,
                      "rtr_hist_len": state["rtr_hist_len"],
                      "rtr_ray_len": state["rtr_ray_len"]}
 
-    # --- deferred combine (light_gbuffer)
-    sky_bg = sky_env_mod.sample_env(sky_env, gb["ray_dir"].reshape(-1, 3)
-                                    ).reshape(h, w, 3)
+    # --- deferred combine (light_gbuffer). The background sky is smooth:
+    # evaluate at quarter res and upsample (4x fewer atmosphere marches)
+    from .core import img as im
+
+    if h % 4 == 0 and w % 4 == 0:
+        sky_q = sky_env_mod.sample_env(
+            sky_env_bg, gb["ray_dir"][::4, ::4].reshape(-1, 3)
+        ).reshape(h // 4, w // 4, 3)
+        sky_bg = im.upsample2x_bilinear(im.upsample2x_bilinear(sky_q))
+    else:
+        sky_bg = sky_env_mod.sample_env(
+            sky_env_bg, gb["ray_dir"].reshape(-1, 3)).reshape(h, w, 3)
     lit = deferred.light_gbuffer(
         gb, shadow, dgi, refl, sky_bg,
         ts.gpu.sun_radiance, ts.gpu.sun_direction,

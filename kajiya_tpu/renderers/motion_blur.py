@@ -54,14 +54,18 @@ def motion_blur(color, velocity, depth, frame_fraction: float = 0.5):
     tile_vel = im.upsample_bilinear(tiles, h, w) * frame_fraction
 
     uv = im.pixel_uv(h, w)
+    # color+depth packed -> one nearest gather per tap (TPU gathers are
+    # latency-bound per element; nearest taps halve the element count and
+    # the jittered tap positions hide the lost bilinear smoothing)
+    packed = jnp.concatenate([color, depth[..., None]], axis=-1)
     acc = jnp.zeros_like(color)
     wsum = jnp.zeros((h, w, 1), jnp.float32)
     for i in range(N_TAPS):
         t = (i + 0.5) / N_TAPS - 0.5
         suv = uv + tile_vel * t
-        c = im.sample_bilinear(color, suv)
+        f = im.sample_nearest(packed, suv)
+        c, d = f[..., :3], f[..., 3]
         # depth-aware: don't smear foreground over background
-        d = im.sample_bilinear(depth, suv)
         wgt = jnp.where(d[..., None] >= depth[..., None] * 0.95, 1.0, 0.25)
         acc = acc + c * wgt
         wsum = wsum + wgt

@@ -57,3 +57,28 @@ def reproject_image(history, reproj, fallback=None):
     if fallback is None:
         fallback = jnp.zeros_like(fetched)
     return fetched * v + fallback * (1.0 - v)
+
+
+def reproject_planes(planes: dict, reproj):
+    """Reproject several history planes with ONE wide gather: planes are
+    concatenated channel-wise, fetched once, and split back. On TPU each
+    gather pays per-element latency on its index stream — amortizing it
+    across channels is a large win for the temporal passes."""
+    keys = list(planes)
+    parts, widths = [], []
+    for k in keys:
+        x = planes[k]
+        if x.ndim == 2:
+            x = x[..., None]
+        parts.append(x)
+        widths.append(x.shape[-1])
+    packed = jnp.concatenate(parts, axis=-1)
+    fetched = im.sample_bilinear(packed, reproj["prev_uv"])
+    fetched = fetched * reproj["validity"][..., None]
+    out = {}
+    off = 0
+    for k, w in zip(keys, widths):
+        sl = fetched[..., off:off + w]
+        out[k] = sl[..., 0] if planes[k].ndim == 2 else sl
+        off += w
+    return out

@@ -115,17 +115,25 @@ def restir_diffuse(state, candidates, gb_h, reproj, frame_idx,
                      mask=candidates["valid"])
 
     # ---- temporal: reprojected previous reservoir (restir_temporal.hlsl)
+    # one wide nearest fetch for all reservoir planes
+    import jax
+
     prev = _pack(state)
-    # nearest-reprojection of every plane at half res
     prev_uv = reproj["prev_uv"][::2, ::2]
     validity = reproj["validity"][::2, ::2]
 
-    def fetch(x):
-        return im.sample_nearest(x, prev_uv)
-
-    import jax
-
-    prev_f = jax.tree_util.tree_map(fetch, prev)
+    packed_prev = jnp.concatenate([
+        prev["payload"]["radiance"], prev["payload"]["dir"],
+        prev["payload"]["t"][..., None], prev["w_sum"][..., None],
+        prev["M"][..., None], prev["W"][..., None],
+        prev["p_hat"][..., None]], axis=-1)
+    f = im.sample_nearest(packed_prev, prev_uv)
+    prev_f = {
+        "payload": {"radiance": f[..., 0:3], "dir": f[..., 3:6],
+                    "t": f[..., 6]},
+        "w_sum": f[..., 7], "M": f[..., 8], "W": f[..., 9],
+        "p_hat": f[..., 10],
+    }
     prev_f = rsv.clamp_m(prev_f, M_CLAMP_TEMPORAL)
     p_hat_t = _p_hat(prev_f["payload"]["radiance"], prev_f["payload"]["dir"], n)
     u, rng = rng_mod.rand_u01(rng)
@@ -134,11 +142,29 @@ def restir_diffuse(state, candidates, gb_h, reproj, frame_idx,
 
     # ---- spatial x2 (restir_spatial.hlsl): per-pixel randomized spiral taps
     # (random rotation per pixel/frame decorrelates the reuse pattern — the
-    # reference rotates its spiral kernel the same way)
+    # reference rotates its spiral kernel the same way). All reservoir
+    # planes + geometry guides are PACKED into one wide array so each tap is
+    # a single gather of 16 channels instead of ~13 separate gathers.
     row = jnp.arange(hh)[:, None] * jnp.ones((1, hw), jnp.int32)
     col = jnp.ones((hh, 1), jnp.int32) * jnp.arange(hw)[None, :]
     ssao_r = 1.0 if ssao_h is None else (0.4 + 0.6 * ssao_h)
+
+    def pack(res):
+        return jnp.concatenate([
+            res["payload"]["radiance"], res["payload"]["dir"],
+            res["payload"]["t"][..., None], res["w_sum"][..., None],
+            res["M"][..., None], res["W"][..., None],
+            res["p_hat"][..., None], n, vz[..., None]], axis=-1)
+
+    def unpack(p):
+        return ({"payload": {"radiance": p[..., 0:3], "dir": p[..., 3:6],
+                             "t": p[..., 6]},
+                 "w_sum": p[..., 7], "M": p[..., 8], "W": p[..., 9],
+                 "p_hat": p[..., 10]},
+                p[..., 11:14], p[..., 14])          # reservoir, n_nb, vz_nb
+
     for radius in (4.0, 10.0):
+        packed = pack(cur)
         merged = cur
         for k in range(4):
             u_a, rng = rng_mod.rand_u01(rng)
@@ -149,9 +175,7 @@ def restir_diffuse(state, candidates, gb_h, reproj, frame_idx,
             dx = jnp.round(jnp.cos(ang) * r).astype(jnp.int32)
             iy = jnp.clip(row + dy, 0, hh - 1)
             ix = jnp.clip(col + dx, 0, hw - 1)
-            nb = jax.tree_util.tree_map(lambda x: x[iy, ix], cur)
-            n_nb = n[iy, ix]
-            vz_nb = vz[iy, ix]
+            nb, n_nb, vz_nb = unpack(packed[iy, ix])
             ok = _geo_weight(vz, vz_nb, n, n_nb) & candidates["valid"]
             p_hat_nb = _p_hat(nb["payload"]["radiance"], nb["payload"]["dir"], n)
             nb = rsv.clamp_m(nb, M_CLAMP_SPATIAL * M_CLAMP_TEMPORAL)

@@ -19,7 +19,7 @@ from ..brdf.sampling import cosine_hemisphere, to_world
 from ..core import img as im
 from ..core import rng as rng_mod
 from .hit_lighting import hit_radiance
-from .reprojection import reproject_image
+from .reprojection import reproject_image, reproject_planes
 from ..rt.trace import scene_trace_closest
 
 RAY_EPS = 1e-4
@@ -126,8 +126,10 @@ def rtdgi_pipeline(ts, gb, view, frame_idx, state, reproj, sky_env,
         full = _edge_aware_upsample(rad_h, gb)
 
     # temporal accumulation at full res (temporal_filter.hlsl)
-    hist = reproject_image(state["rtdgi_history"], reproj)
-    hist_len = reproject_image(state["rtdgi_hist_len"], reproj)
+    fetched = reproject_planes(
+        {"h": state["rtdgi_history"], "l": state["rtdgi_hist_len"]}, reproj)
+    hist = fetched["h"]
+    hist_len = fetched["l"]
     hist_len = jnp.minimum(hist_len * reproj["validity"] + 1.0, 24.0)
     alpha = (1.0 / hist_len)[..., None]
     out = hist * (1 - alpha) + full * alpha

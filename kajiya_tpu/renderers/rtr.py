@@ -18,7 +18,7 @@ from ..brdf import ggx
 from ..core import img as im
 from ..core import rng as rng_mod
 from .hit_lighting import hit_radiance
-from .reprojection import reproject_image
+from .reprojection import reproject_image, reproject_planes
 from ..rt.trace import scene_trace_closest
 
 RAY_EPS = 1e-4
@@ -125,8 +125,10 @@ def rtr_pipeline(ts, gb, view, frame_idx, state, reproj, sky_env, diffuse_env,
 
     # temporal: rougher surfaces tolerate longer history; mirrors converge
     # fast anyway (temporal_filter.hlsl + spatial_cleanup.hlsl roles)
-    hist = reproject_image(state["rtr_history"], reproj)
-    hist_len = reproject_image(state["rtr_hist_len"], reproj)
+    fetched = reproject_planes(
+        {"h": state["rtr_history"], "l": state["rtr_hist_len"]}, reproj)
+    hist = fetched["h"]
+    hist_len = fetched["l"]
     max_len = 4.0 + gb["roughness"] * 24.0
     hist_len = jnp.minimum(hist_len * reproj["validity"] + 1.0, max_len)
     alpha = (1.0 / hist_len)[..., None]

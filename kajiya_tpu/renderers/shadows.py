@@ -18,7 +18,7 @@ from ..core import img as im
 from ..core import rng as rng_mod
 from ..brdf.sampling import to_world, uniform_cone
 from ..rt.trace import scene_trace_shadow
-from .reprojection import reproject_image
+from .reprojection import reproject_image, reproject_planes
 
 RAY_EPS = 1e-4
 
@@ -59,8 +59,11 @@ def init_state(h: int, w: int):
 
 def denoise(mask, state, reproj, gb, near: float = 0.01):
     """Temporal moments + 3x a-trous. Returns (filtered (H,W), new_state)."""
-    prev = reproject_image(state["moments"], reproj)
-    hist_len = reproject_image(state["history_len"], reproj)
+    fetched = reproject_planes(
+        {"moments": state["moments"], "history_len": state["history_len"]},
+        reproj)
+    prev = fetched["moments"]
+    hist_len = fetched["history_len"]
     hist_len = jnp.minimum(hist_len * reproj["validity"] + 1.0, 32.0)
     alpha = 1.0 / hist_len
 

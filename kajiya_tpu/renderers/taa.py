@@ -54,8 +54,12 @@ def taa(input_img, state, reproj, jitter_px, out_h: int, out_w: int):
         validity = im.sample_bilinear(reproj["validity"], uv_out)
 
     # --- reproject history through the velocity of the closest surface
-    history = im.sample_bilinear(state["taa_history"], prev_uv)
-    hist_valid = im.sample_bilinear(state["taa_valid"], prev_uv) * validity
+    # (history + validity packed: one wide gather)
+    packed = jnp.concatenate([state["taa_history"],
+                              state["taa_valid"][..., None]], axis=-1)
+    fetched = im.sample_bilinear(packed, prev_uv)
+    history = fetched[..., :3]
+    hist_valid = fetched[..., 3] * validity
     sigma = jnp.sqrt(var_up)
 
     # --- soft clamp history toward the input neighborhood box

@@ -98,7 +98,78 @@ def convolve_diffuse(env, res_out: int = DIFFUSE_RES):
 
 
 def sample_env(env, d):
-    """Bilinear-ish (nearest for now) fetch of an oct map along direction d."""
+    """Fetch environment radiance along direction d. `env` may be an
+    octahedral map (bilinear gather) OR a callable d -> radiance (gather-free
+    analytic sky / SH ambient) — every pass accepts both."""
+    if callable(env):
+        return env(d)
     from ..core import img as im
 
     return im.sample_bilinear(env, oct_encode(d))
+
+
+# ----------------------------------------------------------------------------
+# L2 spherical-harmonic ambient: replaces the convolved-irradiance MAP fetch
+# (4 gathers per shading point) with a 9-term polynomial in the normal —
+# pure VPU math. Projection over the oct texels is one small matmul.
+# ----------------------------------------------------------------------------
+
+_SH_C = (0.28209479, 0.48860251, 1.09254843, 0.31539157, 0.54627421)
+# Lambertian convolution factors per band (A_0, A_1, A_2)
+_A = (3.141593, 2.094395, 0.785398)
+
+
+def _sh9_basis(d):
+    x, y, z = d[..., 0], d[..., 1], d[..., 2]
+    c = _SH_C
+    return jnp.stack([
+        jnp.full_like(x, c[0]),
+        c[1] * y, c[1] * z, c[1] * x,
+        c[2] * x * y, c[2] * y * z,
+        c[3] * (3.0 * z * z - 1.0),
+        c[2] * x * z, 0.5 * c[2] * (x * x - y * y),
+    ], axis=-1)
+
+
+@lru_cache(maxsize=4)
+def _sh9_project_matrix(res: int):
+    # pure numpy (host constant; must not trace)
+    uv = (np.stack(np.meshgrid(np.arange(res), np.arange(res),
+                               indexing="xy"), -1) + 0.5) / res
+    f = uv * 2.0 - 1.0
+    x, y = f[..., 0], f[..., 1]
+    z = 1.0 - np.abs(x) - np.abs(y)
+    xf = np.where(z < 0, (1 - np.abs(y)) * np.sign(x + 1e-20), x)
+    yf = np.where(z < 0, (1 - np.abs(x)) * np.sign(y + 1e-20), y)
+    d = np.stack([xf, yf, z], -1).reshape(-1, 3)
+    d /= np.maximum(np.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
+    x, y, z = d[:, 0], d[:, 1], d[:, 2]
+    c = _SH_C
+    b = np.stack([
+        np.full_like(x, c[0]), c[1] * y, c[1] * z, c[1] * x,
+        c[2] * x * y, c[2] * y * z, c[3] * (3 * z * z - 1),
+        c[2] * x * z, 0.5 * c[2] * (x * x - y * y)], axis=-1)   # (T, 9)
+    d_omega = 4.0 * np.pi / (res * res)
+    return (b * d_omega).astype(np.float32)
+
+
+def project_sh9(env_map):
+    """(res, res, 3) radiance map -> (9, 3) SH radiance coefficients."""
+    res = env_map.shape[0]
+    m = jnp.asarray(_sh9_project_matrix(res))
+    return jnp.dot(m.T, env_map.reshape(-1, 3),
+                   preferred_element_type=jnp.float32)
+
+
+def sh9_irradiance_fn(sh_coeffs):
+    """Returns a callable n -> E(n)/pi from SH radiance coefficients (the
+    gather-free stand-in for the convolved diffuse map)."""
+    a = jnp.asarray([_A[0]] + [_A[1]] * 3 + [_A[2]] * 5, jnp.float32)
+    conv = sh_coeffs * a[:, None] / jnp.pi      # fold the /pi in
+
+    def fetch(n):
+        basis = _sh9_basis(n)
+        return jnp.maximum(
+            jnp.einsum("...k,kc->...c", basis, conv), 0.0)
+
+    return fetch
