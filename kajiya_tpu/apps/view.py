@@ -64,6 +64,7 @@ def main(argv=None):
                    metavar=("PX", "PY", "PZ", "DX", "DY", "DZ"))
     p.add_argument("--fov", type=float, default=55.0)
     p.add_argument("--debug-mode", default="none")
+    p.add_argument("--ibl", default=None, help=".hdr environment map path")
     p.add_argument("--ev", type=float, default=0.0)
     p.add_argument("--dump-every", type=int, default=0,
                    help="if >0, write every Nth frame")
@@ -82,7 +83,7 @@ def main(argv=None):
                        debug_mode=args.debug_mode, ev_shift=args.ev)
     cam_pos, cam_dir = args.camera[:3], args.camera[3:]
 
-    r = Renderer(scene, cfg)
+    r = Renderer(scene, cfg, ibl=args.ibl)
     t_start = time.perf_counter()
 
     if args.mode == "reference":

@@ -56,3 +56,29 @@ def gather_rows(table, idx):
     else:
         out = out.astype(table.dtype)
     return out[:, 0] if squeeze else out
+
+
+def gather_rows_multi(tables, idx):
+    """Gather SEVERAL same-length tables with one shared index stream in a
+    single blocked one-hot matmul (columns concatenated). Returns a list in
+    input order; int tables round-trip exactly (values < 2^24)."""
+    cols = []
+    metas = []
+    for t in tables:
+        squeeze = t.ndim == 1
+        tt = t[:, None] if squeeze else t
+        metas.append((squeeze, t.dtype, tt.shape[1]))
+        cols.append(tt.astype(jnp.float32))
+    big = jnp.concatenate(cols, axis=-1)
+    out = gather_rows(big, idx)
+    res = []
+    off = 0
+    for squeeze, dt, w in metas:
+        sl = out[:, off:off + w]
+        if dt.kind in "iu":
+            sl = jnp.round(sl).astype(dt)
+        else:
+            sl = sl.astype(dt)
+        res.append(sl[:, 0] if squeeze else sl)
+        off += w
+    return res

@@ -51,12 +51,11 @@ def raytrace_gbuffer(ts: TraceScene, view: ViewConstants, width: int, height: in
 
     # velocity: reproject the same surface point under the PREVIOUS instance
     # transform and previous camera (raster_simple_vs.hlsl behavior)
-    from ..ops.gather import gather_rows
+    from ..ops.gather import gather_rows, gather_rows_multi
 
     gpu = ts.gpu
     tri = jnp.maximum(hit.tri, 0)
-    inst = gather_rows(gpu.tri_inst, tri)
-    idx = gather_rows(gpu.tri_idx, tri)
+    inst, idx = gather_rows_multi([gpu.tri_inst, gpu.tri_idx], tri)
     w = 1.0 - hit.u - hit.v
     obj_pos = (gather_rows(gpu.verts_obj, idx[:, 0]) * w[:, None]
                + gather_rows(gpu.verts_obj, idx[:, 1]) * hit.u[:, None]

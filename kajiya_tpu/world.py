@@ -41,10 +41,12 @@ class TraceScene:
     light_area: Any     # (L,)
     light_emission: Any  # (L, 3)
     woop: Any = None    # dict from ops.woop.build_woop, or None (BVH path)
+    tri_attrs: Any = None   # (T, 18) consolidated per-triangle attributes
+    vert_attrs: Any = None  # (V, 5) consolidated per-vertex attributes
 
     _F = ("gpu", "bvh", "v0", "e1", "e2", "vnormals",
           "light_v0", "light_e1", "light_e2", "light_area", "light_emission",
-          "woop")
+          "woop", "tri_attrs", "vert_attrs")
 
     def tree_flatten(self):
         return tuple(getattr(self, f) for f in self._F), None
@@ -84,6 +86,19 @@ def refresh_trace_scene(gpu: GpuScene, bvh: Bvh, levels,
         pad = -(-gpu.num_triangles // TRI_BLOCK) * TRI_BLOCK
         woop = build_woop(v0, e1, e2, pad_to=pad)
 
+    # consolidated attribute tables: one wide gather per hit instead of a
+    # dozen narrow ones (ops/gather.py::gather_rows_multi rationale)
+    mt = gpu.tri_mat
+    tri_attrs = jnp.concatenate([
+        e1, e2, v0,
+        gpu.mat_base_color[mt][:, :3],
+        gpu.mat_metallic[mt][:, None],
+        gpu.mat_roughness[mt][:, None],
+        gpu.mat_emissive[mt],
+        mt[:, None].astype(jnp.float32),
+    ], axis=-1)                                           # (T, 18)
+    vert_attrs = jnp.concatenate([vnormals, gpu.uvs], axis=-1)   # (V, 5)
+
     lt = jnp.maximum(gpu.light_tri, 0)
     lv0, le1, le2 = v0[lt], e1[lt], e2[lt]
     area = 0.5 * jnp.linalg.norm(jnp.cross(le1, le2), axis=-1)
@@ -94,7 +109,7 @@ def refresh_trace_scene(gpu: GpuScene, bvh: Bvh, levels,
         light_v0=lv0, light_e1=le1, light_e2=le2,
         light_area=jnp.where(live[:, 0], area, 0.0),
         light_emission=jnp.where(live, emission, 0.0),
-        woop=woop,
+        woop=woop, tri_attrs=tri_attrs, vert_attrs=vert_attrs,
     )
 
 
@@ -105,26 +120,28 @@ def hit_attributes(ts: TraceScene, hit, ray_dir, mip: int = 0):
 
     `mip` selects the texture mip (primary rays 0; secondary rays pass a
     coarser level — the ray-cone LOD role of `inc/ray_cone.hlsl`)."""
-    from .ops.gather import gather_rows
+    from .ops.gather import gather_rows, gather_rows_multi
 
     gpu = ts.gpu
     tri = jnp.maximum(hit.tri, 0)
-    idx = gather_rows(gpu.tri_idx, tri)          # (R, 3)
-    n0 = gather_rows(ts.vnormals, idx[:, 0])
-    n1 = gather_rows(ts.vnormals, idx[:, 1])
-    n2 = gather_rows(ts.vnormals, idx[:, 2])
+    # one wide fetch per index stream: triangle attrs, then 3 vertex attrs
+    ta, idx = gather_rows_multi([ts.tri_attrs, gpu.tri_idx], tri)
+    e1_t, e2_t, v0_t = ta[:, 0:3], ta[:, 3:6], ta[:, 6:9]
+    base_color = ta[:, 9:12]
+    metallic = ta[:, 12]
+    roughness = ta[:, 13]
+    emissive = ta[:, 14:17]
+    mat = jnp.round(ta[:, 17]).astype(jnp.int32)
+
+    va0 = gather_rows(ts.vert_attrs, idx[:, 0])
+    va1 = gather_rows(ts.vert_attrs, idx[:, 1])
+    va2 = gather_rows(ts.vert_attrs, idx[:, 2])
     w = 1.0 - hit.u - hit.v
-    normal = n0 * w[:, None] + n1 * hit.u[:, None] + n2 * hit.v[:, None]
+    va = va0 * w[:, None] + va1 * hit.u[:, None] + va2 * hit.v[:, None]
+    normal = va[:, 0:3]
     normal = normal / jnp.maximum(jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-8)
+    uv = va[:, 3:5]
 
-    uv0 = gather_rows(gpu.uvs, idx[:, 0])
-    uv1 = gather_rows(gpu.uvs, idx[:, 1])
-    uv2 = gather_rows(gpu.uvs, idx[:, 2])
-    uv = uv0 * w[:, None] + uv1 * hit.u[:, None] + uv2 * hit.v[:, None]
-
-    e1_t = gather_rows(ts.e1, tri)
-    e2_t = gather_rows(ts.e2, tri)
-    v0_t = gather_rows(ts.v0, tri)
     geo_n = jnp.cross(e1_t, e2_t)
     geo_n = geo_n / jnp.maximum(jnp.linalg.norm(geo_n, axis=-1, keepdims=True), 1e-8)
     # orient both normals against the incoming ray (double-sided materials)
@@ -133,13 +150,8 @@ def hit_attributes(ts: TraceScene, hit, ray_dir, mip: int = 0):
     geo_n = geo_n * flip
     normal = jnp.where((jnp.sum(normal * geo_n, axis=-1) < 0.0)[:, None], -normal, normal)
 
-    mat = gather_rows(gpu.tri_mat, tri)
     pos = v0_t + e1_t * hit.u[:, None] + e2_t * hit.v[:, None]
 
-    base_color = gather_rows(gpu.mat_base_color, mat)[:, :3]
-    metallic = gather_rows(gpu.mat_metallic, mat)
-    roughness = gather_rows(gpu.mat_roughness, mat)
-    emissive = gather_rows(gpu.mat_emissive, mat)
     if gpu.tex_pages is not None:
         # manual texture fetch (bindless sampling equivalent; gltf packs
         # roughness in G and metalness in B of the MR map)
