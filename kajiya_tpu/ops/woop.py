@@ -94,10 +94,34 @@ def _intersect_block(o_aug, d, a_o_blk, a_d_blk, valid_blk, t_min, t_max,
     return new_t, new_tri.astype(jnp.int32), new_u, new_v
 
 
+def build_clusters(v0, e1, e2, pad_to: int, tri_block: int = TRI_BLOCK):
+    """Per-block AABBs over the Morton-ordered triangle blocks — the coarse
+    level of the culled tracer. Returns (cmin, cmax): (C, 3) each. Padded
+    (dead) triangles collapse to empty boxes."""
+    t = v0.shape[0]
+    p1, p2 = v0 + e1, v0 + e2
+    tmin = jnp.minimum(jnp.minimum(v0, p1), p2)
+    tmax = jnp.maximum(jnp.maximum(v0, p1), p2)
+    pad = pad_to - t
+    if pad:
+        tmin = jnp.concatenate([tmin, jnp.full((pad, 3), INF)], axis=0)
+        tmax = jnp.concatenate([tmax, jnp.full((pad, 3), -INF)], axis=0)
+    c = pad_to // tri_block
+    return (tmin.reshape(c, tri_block, 3).min(axis=1),
+            tmax.reshape(c, tri_block, 3).max(axis=1))
+
+
 def intersect_brute(woop, org, d, t_min=1e-4, t_max=None, any_hit=False,
                     tri_block: int = TRI_BLOCK, ray_block: int = RAY_BLOCK):
     """Closest-hit over ALL triangles. org/d: (R, 3). Returns (t, tri, u, v)
-    with t = INF / tri = -1 on miss. t_max may be scalar or (R,)."""
+    with t = INF / tri = -1 on miss. t_max may be scalar or (R,).
+
+    When the woop dict carries cluster bounds ("cmin"/"cmax", see
+    build_clusters), each ray chunk first tests the cluster AABBs and whole
+    triangle blocks no ray in the chunk can hit are SKIPPED via a scalar
+    branch — the TPU-native 'traversal': coherent chunks visit only the
+    handful of blocks their frustum touches, and the inner loop stays dense
+    matmul work (the stream-tracing formulation for wide-SIMD machines)."""
     rtot = org.shape[0]
     ttot3 = woop["a_d"].shape[0]
     ttot = ttot3 // 3
@@ -125,21 +149,42 @@ def intersect_brute(woop, org, d, t_min=1e-4, t_max=None, any_hit=False,
     a_o = woop["a_o"].reshape(3, ttot, 4)
     valid = woop["valid"]
 
+    have_clusters = "cmin" in woop and woop.get("cmin") is not None
+
     def ray_chunk(carry, inputs):
         o_blk, d_blk, tmax_blk = inputs
 
+        if have_clusters:
+            # chunk-level cull: does ANY ray in this chunk enter cluster c?
+            o3 = o_blk[:, :3]
+            eps = 1e-12
+            inv = 1.0 / jnp.where(jnp.abs(d_blk) < eps,
+                                  jnp.where(d_blk < 0, -eps, eps), d_blk)
+            t0 = (woop["cmin"][None] - o3[:, None]) * inv[:, None]  # (RB,C,3)
+            t1 = (woop["cmax"][None] - o3[:, None]) * inv[:, None]
+            tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
+            tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+            hit_c = (tn <= tf) & (tf >= t_min) & (tn <= tmax_blk[:, None])
+            cluster_mask = jnp.any(hit_c, axis=0)                   # (C,)
+        else:
+            cluster_mask = None
+
         def tri_step(st, i):
-            cur_t, cur_tri, cur_u, cur_v = st
-            s = i * tri_block
-            adb = jax.lax.dynamic_slice(a_d, (0, s, 0), (3, tri_block, 3)
-                                        ).reshape(3 * tri_block, 3)
-            aob = jax.lax.dynamic_slice(a_o, (0, s, 0), (3, tri_block, 4)
-                                        ).reshape(3 * tri_block, 4)
-            vb = jax.lax.dynamic_slice(valid, (s,), (tri_block,))
-            st2 = _intersect_block(o_blk, d_blk, aob, adb, vb, t_min,
-                                   tmax_blk, cur_t, cur_tri, cur_u, cur_v,
-                                   s, any_hit)
-            return st2, None
+            def do(st):
+                cur_t, cur_tri, cur_u, cur_v = st
+                s = i * tri_block
+                adb = jax.lax.dynamic_slice(a_d, (0, s, 0), (3, tri_block, 3)
+                                            ).reshape(3 * tri_block, 3)
+                aob = jax.lax.dynamic_slice(a_o, (0, s, 0), (3, tri_block, 4)
+                                            ).reshape(3 * tri_block, 4)
+                vb = jax.lax.dynamic_slice(valid, (s,), (tri_block,))
+                return _intersect_block(o_blk, d_blk, aob, adb, vb, t_min,
+                                        tmax_blk, cur_t, cur_tri, cur_u,
+                                        cur_v, s, any_hit)
+
+            if cluster_mask is None:
+                return do(st), None
+            return jax.lax.cond(cluster_mask[i], do, lambda s_: s_, st), None
 
         init = (jnp.full((ray_block,), INF, jnp.float32),
                 jnp.full((ray_block,), -1, jnp.int32),

@@ -20,6 +20,10 @@ from .scene.scene import GpuScene
 # (ops/woop.py) instead of BVH traversal — dense matmuls beat a divergent
 # lockstep tree walk on TPU by orders of magnitude at this size
 BRUTE_FORCE_MAX_TRIS = 8192
+# up to this size, the brute intersector runs with per-chunk cluster culling
+# (block AABBs + scalar-branch skipping — the stream-tracing formulation);
+# only beyond it does the lockstep BVH walk take over
+CULLED_BRUTE_MAX_TRIS = 262_144
 
 
 @jax.tree_util.register_pytree_node_class
@@ -61,7 +65,7 @@ class TraceScene:
 
 
 def build_trace_scene(gpu: GpuScene, leaf_size: int = 4,
-                      brute_max_tris: int = BRUTE_FORCE_MAX_TRIS):
+                      brute_max_tris: int = CULLED_BRUTE_MAX_TRIS):
     """Host-side: build BVH topology once. Returns (TraceScene, levels)."""
     bvh, levels, _ = bvh_from_scene(gpu, leaf_size=leaf_size)
     use_brute = gpu.num_triangles <= brute_max_tris
@@ -80,11 +84,17 @@ def refresh_trace_scene(gpu: GpuScene, bvh: Bvh, levels,
     bvh = refit_bvh(bvh, levels, v0, e1, e2)
     vnormals = gpu.world_normals()
     if use_brute is None:
-        use_brute = gpu.num_triangles <= BRUTE_FORCE_MAX_TRIS
+        use_brute = gpu.num_triangles <= CULLED_BRUTE_MAX_TRIS
     woop = None
     if use_brute:
+        from .ops.woop import build_clusters
+
         pad = -(-gpu.num_triangles // TRI_BLOCK) * TRI_BLOCK
         woop = build_woop(v0, e1, e2, pad_to=pad)
+        if gpu.num_triangles > BRUTE_FORCE_MAX_TRIS:
+            cmin, cmax = build_clusters(v0, e1, e2, pad_to=pad)
+            woop["cmin"] = cmin
+            woop["cmax"] = cmax
 
     # consolidated attribute tables: one wide gather per hit instead of a
     # dozen narrow ones (ops/gather.py::gather_rows_multi rationale)

@@ -73,3 +73,28 @@ class TestBruteMatchesBvh:
         d = jnp.asarray([[0.0, 0.0, -1.0]], jnp.float32)
         assert bool(scene_trace_shadow(ts, org, d)[0])
         assert not bool(scene_trace_shadow(ts, org, d, t_max=0.5)[0])
+
+
+class TestCulledBrute:
+    def test_culled_matches_bvh_on_large_soup(self):
+        """Scenes above BRUTE_FORCE_MAX_TRIS get cluster bounds; results must
+        match the BVH traversal oracle."""
+        from kajiya_tpu.world import BRUTE_FORCE_MAX_TRIS, build_trace_scene
+        from kajiya_tpu.rt.trace import scene_trace_closest
+
+        n = BRUTE_FORCE_MAX_TRIS + 2000
+        gpu = build_gpu_scene(random_tri_soup(n, seed=7, extent=12.0))
+        ts, _ = build_trace_scene(gpu)
+        assert ts.woop is not None and "cmin" in ts.woop
+
+        bvh, _, tris = bvh_from_scene(gpu)
+        org, d = _rand_rays(512, seed=9, extent=14.0)
+        ref = trace_closest(bvh, tris, org, d)
+        hit = jax.jit(lambda: scene_trace_closest(ts, org, d))()
+        hit_ref = np.asarray(ref.tri) >= 0
+        hit_new = np.asarray(hit.tri) >= 0
+        assert (hit_ref == hit_new).mean() > 0.999
+        both = hit_ref & hit_new
+        np.testing.assert_allclose(np.asarray(hit.t)[both],
+                                   np.asarray(ref.t)[both], rtol=3e-4,
+                                   atol=1e-5)
