@@ -79,8 +79,11 @@ def _intersect_block(o_aug, d, a_o_blk, a_d_blk, valid_blk, t_min, t_max,
     t = -qw / rw_safe
     u = qu + t * ru
     v = qv + t * rv
+    # small barycentric slack closes FP cracks along shared edges (visible
+    # as speckles on large meshes; tiny overlap is harmless for rendering)
+    beps = 1e-5
     ok = ((jnp.abs(rw) >= 1e-12) & valid_blk[None, :]
-          & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+          & (u >= -beps) & (v >= -beps) & (u + v <= 1.0 + beps)
           & (t > t_min) & (t < cur_t[:, None]) & (t < t_max[:, None]))
     t_masked = jnp.where(ok, t, INF)
     best = jnp.argmin(t_masked, axis=-1)

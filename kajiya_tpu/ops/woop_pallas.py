@@ -63,7 +63,8 @@ def _kernel(o_ref, d_ref, ao_ref, ad_ref, tmax_ref, t_ref, tri_ref, u_ref,
         t = -qw / rw_safe
         u = qu + t * ru
         v = qv + t * rv
-        ok = (rw_ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+        beps = 1e-5   # crack-closing barycentric slack (see ops/woop.py)
+        ok = (rw_ok & (u >= -beps) & (v >= -beps) & (u + v <= 1.0 + beps)
               & (t > t_min) & (t < t_best) & (t < tmax))
         t_m = jnp.where(ok, t, jnp.float32(INF))
         bt = jnp.min(t_m, axis=0, keepdims=True)                  # (1, RB)

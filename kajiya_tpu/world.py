@@ -66,18 +66,46 @@ class TraceScene:
 
 def build_trace_scene(gpu: GpuScene, leaf_size: int = 4,
                       brute_max_tris: int = CULLED_BRUTE_MAX_TRIS):
-    """Host-side: build BVH topology once. Returns (TraceScene, levels)."""
-    bvh, levels, _ = bvh_from_scene(gpu, leaf_size=leaf_size)
+    """Host-side: build BVH topology + Morton permutation once; the device
+    arrays are produced by ONE jitted refresh (eager per-op dispatch over a
+    remote TPU costs ~100ms/op — a 76k-tri scene took minutes un-jitted).
+    Returns (TraceScene, levels) where levels is the opaque static bundle
+    consumed by refresh_trace_scene."""
+    import numpy as np
+
+    bvh, lv, tris = bvh_from_scene(gpu, leaf_size=leaf_size)
     use_brute = gpu.num_triangles <= brute_max_tris
-    ts = refresh_trace_scene(gpu, bvh, levels, use_brute=use_brute)
+    perm = None
+    if use_brute and gpu.num_triangles > BRUTE_FORCE_MAX_TRIS:
+        # spatially-sorted triangle blocks make the cluster culling tight
+        from .rt.bvh import morton3d
+
+        v0, e1, e2 = (np.asarray(t) for t in tris)
+        c = v0 + (e1 + e2) / 3.0
+        lo, hi = c.min(axis=0), c.max(axis=0)
+        norm = (c - lo) / np.maximum(hi - lo, 1e-12)
+        perm = np.argsort(morton3d(norm), kind="stable").astype(np.int32)
+    levels = {"levels": lv, "use_brute": use_brute, "perm": perm}
+    ts = jax.jit(
+        lambda g, b: refresh_trace_scene(g, b, levels))(gpu, bvh)
     return ts, levels
 
 
 def refresh_trace_scene(gpu: GpuScene, bvh: Bvh, levels,
                         use_brute: bool | None = None) -> TraceScene:
     """Jit-safe: recompute world geometry + refit BVH for current transforms
-    (the per-frame 'rebuild tlas' pass, `world_renderer.rs:865-911`)."""
+    (the per-frame 'rebuild tlas' pass, `world_renderer.rs:865-911`).
+
+    `levels` is either the raw refit schedule (legacy) or the static bundle
+    from build_trace_scene ({"levels", "use_brute", "perm"})."""
     from .ops.woop import TRI_BLOCK, build_woop
+
+    perm = None
+    if isinstance(levels, dict):
+        perm = levels.get("perm")
+        if use_brute is None:
+            use_brute = levels.get("use_brute")
+        levels = levels["levels"]
 
     wp = gpu.world_positions()
     v0, e1, e2 = gpu.triangle_corners(wp)
@@ -90,11 +118,18 @@ def refresh_trace_scene(gpu: GpuScene, bvh: Bvh, levels,
         from .ops.woop import build_clusters
 
         pad = -(-gpu.num_triangles // TRI_BLOCK) * TRI_BLOCK
-        woop = build_woop(v0, e1, e2, pad_to=pad)
+        if perm is not None:
+            pj = jnp.asarray(perm)
+            v0w, e1w, e2w = v0[pj], e1[pj], e2[pj]
+        else:
+            v0w, e1w, e2w = v0, e1, e2
+        woop = build_woop(v0w, e1w, e2w, pad_to=pad)
         if gpu.num_triangles > BRUTE_FORCE_MAX_TRIS:
-            cmin, cmax = build_clusters(v0, e1, e2, pad_to=pad)
+            cmin, cmax = build_clusters(v0w, e1w, e2w, pad_to=pad)
             woop["cmin"] = cmin
             woop["cmax"] = cmax
+        if perm is not None:
+            woop["remap"] = jnp.asarray(perm)
 
     # consolidated attribute tables: one wide gather per hit instead of a
     # dozen narrow ones (ops/gather.py::gather_rows_multi rationale)
