@@ -149,7 +149,8 @@ def render_frame(ts, state, view: ViewConstants, cfg: RenderConfig,
             sky_env_mod.project_sh9(small))
 
     # --- primary visibility ("raster simple")
-    gb = gbuffer.raytrace_gbuffer(ts, view, w, h, max_trace_steps=mts)
+    gb = gbuffer.raytrace_gbuffer(ts, view, w, h, max_trace_steps=mts,
+                                  no_normal_maps=cfg.no_normal_maps)
 
     # --- render overrides (debug isolation knobs, render_overrides.rs)
     if cfg.force_face_normals:

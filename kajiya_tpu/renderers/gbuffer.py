@@ -28,7 +28,7 @@ def _project(m, p):
 
 
 def raytrace_gbuffer(ts: TraceScene, view: ViewConstants, width: int, height: int,
-                     max_trace_steps=None):
+                     max_trace_steps=None, no_normal_maps: bool = False):
     """Trace primary rays -> gbuffer dict of (H, W[, C]) planes.
 
     Keys: depth (reversed-inf-Z; 0 = sky), normal, geo_normal, albedo,
@@ -39,7 +39,7 @@ def raytrace_gbuffer(ts: TraceScene, view: ViewConstants, width: int, height: in
     orgf = org.reshape(-1, 3)
     df = d.reshape(-1, 3)
     hit = scene_trace_closest(ts, orgf, df, max_steps=max_trace_steps)
-    attrs = hit_attributes(ts, hit, df)
+    attrs = hit_attributes(ts, hit, df, no_normal_maps=no_normal_maps)
 
     m = hit.hit_mask
     pos = attrs["pos"]

@@ -75,6 +75,7 @@ class GpuScene:
 
     verts_obj: Any        # (V, 3) f32 object-space positions (per-instance copy)
     normals_obj: Any      # (V, 3) f32 object-space normals
+    tangents_obj: Any     # (V, 4) f32 object-space tangent + handedness w
     uvs: Any              # (V, 2) f32
     vert_inst: Any        # (V,) i32 instance id per vertex
     tri_idx: Any          # (T, 3) i32 vertex indices
@@ -95,7 +96,7 @@ class GpuScene:
     mat_tex: Any = None      # (M, 4) i32 page ids [base, mr, normal, emissive]
 
     _FIELDS = (
-        "verts_obj", "normals_obj", "uvs", "vert_inst", "tri_idx", "tri_mat",
+        "verts_obj", "normals_obj", "tangents_obj", "uvs", "vert_inst", "tri_idx", "tri_mat",
         "tri_inst", "xforms", "xforms_prev", "mat_base_color", "mat_emissive",
         "mat_metallic", "mat_roughness", "light_tri", "num_lights",
         "sun_direction", "sun_radiance", "sun_angular_radius",
@@ -122,6 +123,13 @@ class GpuScene:
         xf = self.xforms_prev[self.vert_inst]
         return jnp.einsum("vij,vj->vi", xf[:, :, :3], self.verts_obj) + xf[:, :, 3]
 
+    def world_tangents(self):
+        """(V, 4) world-space unit tangents (w = handedness preserved)."""
+        xf = self.xforms[self.vert_inst]
+        t = jnp.einsum("vij,vj->vi", xf[:, :, :3], self.tangents_obj[:, :3])
+        t = t / jnp.maximum(jnp.linalg.norm(t, axis=-1, keepdims=True), 1e-8)
+        return jnp.concatenate([t, self.tangents_obj[:, 3:4]], axis=-1)
+
     def world_normals(self):
         """(V, 3) world-space unit normals (assumes uniform-ish scale; exact for
         rotations — the common case; matches the reference's normal handling)."""
@@ -141,7 +149,7 @@ class GpuScene:
 def build_gpu_scene(scene: Scene, max_lights: int = 4096,
                     with_textures: bool = True) -> GpuScene:
     """Flatten host Scene into a GpuScene (numpy -> device arrays)."""
-    verts, normals, uvs, vert_inst = [], [], [], []
+    verts, normals, tangents, uvs, vert_inst = [], [], [], [], []
     tri_idx, tri_mat, tri_inst = [], [], []
     materials = []
     mesh_mat_offset = []
@@ -172,6 +180,7 @@ def build_gpu_scene(scene: Scene, max_lights: int = 4096,
         mesh = scene.meshes[inst.mesh_id]
         verts.append(mesh.positions)
         normals.append(mesh.normals)
+        tangents.append(mesh.tangents)
         uvs.append(mesh.uvs)
         vert_inst.append(np.full(mesh.num_vertices, inst_id, np.int32))
         tri_idx.append(mesh.indices.astype(np.int64) + voff)
@@ -212,6 +221,7 @@ def build_gpu_scene(scene: Scene, max_lights: int = 4096,
         mat_tex=mat_tex,
         verts_obj=jnp.asarray(verts, jnp.float32),
         normals_obj=jnp.asarray(np.concatenate(normals), jnp.float32),
+        tangents_obj=jnp.asarray(np.concatenate(tangents), jnp.float32),
         uvs=jnp.asarray(np.concatenate(uvs), jnp.float32),
         vert_inst=jnp.asarray(np.concatenate(vert_inst), jnp.int32),
         tri_idx=jnp.asarray(tri_idx),

@@ -46,7 +46,7 @@ class TraceScene:
     light_emission: Any  # (L, 3)
     woop: Any = None    # dict from ops.woop.build_woop, or None (BVH path)
     tri_attrs: Any = None   # (T, 18) consolidated per-triangle attributes
-    vert_attrs: Any = None  # (V, 5) consolidated per-vertex attributes
+    vert_attrs: Any = None  # (V, 9) normal(3) + uv(2) + tangent(4)
 
     _F = ("gpu", "bvh", "v0", "e1", "e2", "vnormals",
           "light_v0", "light_e1", "light_e2", "light_area", "light_emission",
@@ -142,7 +142,8 @@ def refresh_trace_scene(gpu: GpuScene, bvh: Bvh, levels,
         gpu.mat_emissive[mt],
         mt[:, None].astype(jnp.float32),
     ], axis=-1)                                           # (T, 18)
-    vert_attrs = jnp.concatenate([vnormals, gpu.uvs], axis=-1)   # (V, 5)
+    vert_attrs = jnp.concatenate(
+        [vnormals, gpu.uvs, gpu.world_tangents()], axis=-1)      # (V, 9)
 
     lt = jnp.maximum(gpu.light_tri, 0)
     lv0, le1, le2 = v0[lt], e1[lt], e2[lt]
@@ -158,7 +159,8 @@ def refresh_trace_scene(gpu: GpuScene, bvh: Bvh, levels,
     )
 
 
-def hit_attributes(ts: TraceScene, hit, ray_dir, mip: int = 0):
+def hit_attributes(ts: TraceScene, hit, ray_dir, mip: int = 0,
+                   no_normal_maps: bool = False):
     """Fetch shading attributes at hit points (the software `gbuffer.rchit`,
     cf. `assets/shaders/rt/gbuffer.rchit.hlsl`). All entries are safe for
     missed rays (mask with hit.hit_mask). Returns a dict of (R, ...) arrays.
@@ -186,6 +188,8 @@ def hit_attributes(ts: TraceScene, hit, ray_dir, mip: int = 0):
     normal = va[:, 0:3]
     normal = normal / jnp.maximum(jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-8)
     uv = va[:, 3:5]
+    tangent = va[:, 5:8]
+    tan_w = va[:, 8]
 
     geo_n = jnp.cross(e1_t, e2_t)
     geo_n = geo_n / jnp.maximum(jnp.linalg.norm(geo_n, axis=-1, keepdims=True), 1e-8)
@@ -210,6 +214,21 @@ def hit_attributes(ts: TraceScene, hit, ray_dir, mip: int = 0):
         roughness = jnp.clip(roughness * mr[:, 1], 1e-3, 1.0)
         metallic = jnp.clip(metallic * mr[:, 2], 0.0, 1.0)
         emissive = emissive * em[:, :3]
+        # tangent-space normal mapping (the reference applies material
+        # normal maps via the vertex TBN; lanes without a normal texture or
+        # tangents keep the interpolated normal)
+        nm = sample_pages(gpu.tex_pages, slots[:, 2], uv, mip=mip)
+        tnorm = nm[:, :3] * 2.0 - 1.0
+        t_len = jnp.linalg.norm(tangent, axis=-1, keepdims=True)
+        t_ok = (t_len[:, 0] > 1e-4) & (slots[:, 2] > 0)
+        t = tangent / jnp.maximum(t_len, 1e-8)
+        b = jnp.cross(normal, t) * tan_w[:, None]
+        n_mapped = (t * tnorm[:, 0:1] + b * tnorm[:, 1:2]
+                    + normal * tnorm[:, 2:3])
+        n_mapped = n_mapped / jnp.maximum(
+            jnp.linalg.norm(n_mapped, axis=-1, keepdims=True), 1e-8)
+        if not no_normal_maps:      # RenderOverrides.no_normal_maps
+            normal = jnp.where(t_ok[:, None], n_mapped, normal)
 
     return dict(
         pos=pos,
