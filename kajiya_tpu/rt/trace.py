@@ -160,9 +160,6 @@ def scene_trace_closest(ts, org, d, t_min=1e-4, t_max=INF, max_steps=None) -> Hi
         from ..ops.woop import intersect_brute
 
         t, tri, u, v = intersect_brute(ts.woop, org, d, t_min=t_min, t_max=t_max)
-        remap = ts.woop.get("remap")
-        if remap is not None:   # morton-permuted blocks -> global tri ids
-            tri = jnp.where(tri >= 0, remap[jnp.maximum(tri, 0)], -1)
         return Hit(t=t, tri=tri, u=u, v=v)
     return trace_closest(ts.bvh, ts.tris, org, d, t_min, t_max, max_steps)
 

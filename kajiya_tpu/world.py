@@ -73,22 +73,43 @@ def build_trace_scene(gpu: GpuScene, leaf_size: int = 4,
     consumed by refresh_trace_scene."""
     import numpy as np
 
-    bvh, lv, tris = bvh_from_scene(gpu, leaf_size=leaf_size)
     use_brute = gpu.num_triangles <= brute_max_tris
-    perm = None
     if use_brute and gpu.num_triangles > BRUTE_FORCE_MAX_TRIS:
-        # spatially-sorted triangle blocks make the cluster culling tight
+        # Morton-sort the TRIANGLE TABLES THEMSELVES so spatially-compact
+        # blocks are the canonical order (tight cluster culling with no
+        # remap gather in the hot path)
         from .rt.bvh import morton3d
 
-        v0, e1, e2 = (np.asarray(t) for t in tris)
+        v0, e1, e2 = (np.asarray(t) for t in gpu.triangle_corners())
         c = v0 + (e1 + e2) / 3.0
         lo, hi = c.min(axis=0), c.max(axis=0)
         norm = (c - lo) / np.maximum(hi - lo, 1e-12)
         perm = np.argsort(morton3d(norm), kind="stable").astype(np.int32)
-    levels = {"levels": lv, "use_brute": use_brute, "perm": perm}
+        gpu = _permute_triangles(gpu, perm)
+
+    bvh, lv, _tris = bvh_from_scene(gpu, leaf_size=leaf_size)
+    levels = {"levels": lv, "use_brute": use_brute}
     ts = jax.jit(
         lambda g, b: refresh_trace_scene(g, b, levels))(gpu, bvh)
     return ts, levels
+
+
+def _permute_triangles(gpu: GpuScene, perm: "np.ndarray") -> GpuScene:
+    """Reorder every triangle-indexed table by `perm` (host-side, once)."""
+    import numpy as np
+
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(len(perm), dtype=np.int32)
+    lt = np.asarray(gpu.light_tri)
+    lt2 = np.where(lt >= 0, inv[np.maximum(lt, 0)], -1).astype(np.int32)
+    kw = {f: getattr(gpu, f) for f in gpu._FIELDS}
+    kw.update(
+        tri_idx=jnp.asarray(np.asarray(gpu.tri_idx)[perm]),
+        tri_mat=jnp.asarray(np.asarray(gpu.tri_mat)[perm]),
+        tri_inst=jnp.asarray(np.asarray(gpu.tri_inst)[perm]),
+        light_tri=jnp.asarray(lt2),
+    )
+    return GpuScene(**kw)
 
 
 def refresh_trace_scene(gpu: GpuScene, bvh: Bvh, levels,
@@ -100,9 +121,7 @@ def refresh_trace_scene(gpu: GpuScene, bvh: Bvh, levels,
     from build_trace_scene ({"levels", "use_brute", "perm"})."""
     from .ops.woop import TRI_BLOCK, build_woop
 
-    perm = None
     if isinstance(levels, dict):
-        perm = levels.get("perm")
         if use_brute is None:
             use_brute = levels.get("use_brute")
         levels = levels["levels"]
@@ -118,18 +137,11 @@ def refresh_trace_scene(gpu: GpuScene, bvh: Bvh, levels,
         from .ops.woop import build_clusters
 
         pad = -(-gpu.num_triangles // TRI_BLOCK) * TRI_BLOCK
-        if perm is not None:
-            pj = jnp.asarray(perm)
-            v0w, e1w, e2w = v0[pj], e1[pj], e2[pj]
-        else:
-            v0w, e1w, e2w = v0, e1, e2
-        woop = build_woop(v0w, e1w, e2w, pad_to=pad)
+        woop = build_woop(v0, e1, e2, pad_to=pad)
         if gpu.num_triangles > BRUTE_FORCE_MAX_TRIS:
-            cmin, cmax = build_clusters(v0w, e1w, e2w, pad_to=pad)
+            cmin, cmax = build_clusters(v0, e1, e2, pad_to=pad)
             woop["cmin"] = cmin
             woop["cmax"] = cmax
-        if perm is not None:
-            woop["remap"] = jnp.asarray(perm)
 
     # consolidated attribute tables: one wide gather per hit instead of a
     # dozen narrow ones (ops/gather.py::gather_rows_multi rationale)
