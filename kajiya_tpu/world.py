@@ -89,8 +89,22 @@ def build_trace_scene(gpu: GpuScene, leaf_size: int = 4,
 
     bvh, lv, _tris = bvh_from_scene(gpu, leaf_size=leaf_size)
     levels = {"levels": lv, "use_brute": use_brute}
-    ts = jax.jit(
-        lambda g, b: refresh_trace_scene(g, b, levels))(gpu, bvh)
+    # Build EAGERLY on the CPU backend: per-op eager dispatch through a
+    # remote-TPU tunnel costs ~100ms/op (minutes for big scenes), and
+    # jitting this build corrupts later dispatch in this jax build
+    # ("Execution supplied N buffers but compiled program expected M" on
+    # subsequent state-threaded calls). CPU eager is fast; one device_put
+    # ships the finished bundle to the compute device.
+    cpu = jax.devices("cpu")[0]
+    gpu_c = jax.device_put(gpu, cpu)
+    bvh_c = jax.device_put(bvh, cpu)
+    with jax.default_device(cpu):
+        ts = refresh_trace_scene(gpu_c, bvh_c, levels)
+    dev = jax.devices()[0]
+    if dev != cpu:
+        ts = jax.device_put(ts, dev)
+    else:
+        ts = jax.tree_util.tree_map(lambda x: jnp.asarray(np.asarray(x)), ts)
     return ts, levels
 
 
