@@ -54,6 +54,7 @@ def main():
 
     attempts = [
         ("hybrid_gi_frame_ms_1080p", {}),
+        ("hybrid_gi_frame_ms_1080p_no_ircache", dict(use_ircache=False)),
         ("hybrid_gi_frame_ms_1080p_no_ircache_restir",
          dict(use_ircache=False, use_restir_gi=False)),
         ("hybrid_gi_frame_ms_1080p_core",
