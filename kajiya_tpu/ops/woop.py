@@ -29,6 +29,7 @@ INF = jnp.float32(1e30)
 
 TRI_BLOCK = 256     # triangles per inner matmul block
 RAY_BLOCK = 8192    # rays per outer chunk
+CULLED_RAY_BLOCK = 8192   # 64x128 screen tiles (smaller chunks measured slower: per-chunk overhead beats the tighter frustum)
 
 
 def build_woop(v0, e1, e2, pad_to: int | None = None):

@@ -36,9 +36,23 @@ def raytrace_gbuffer(ts: TraceScene, view: ViewConstants, width: int, height: in
     hit (bool), ray_dir.
     """
     org, d = camera_rays(view, width, height)
-    orgf = org.reshape(-1, 3)
-    df = d.reshape(-1, 3)
+    tiled = ts.woop is not None and "cmin" in ts.woop
+    if tiled:
+        # compact 2D tiles -> narrow chunk frustums -> tight cluster culling
+        from ..ops.tiling import tile_order, untile_order
+
+        orgf = tile_order(org).reshape(-1, 3)
+        df = tile_order(d).reshape(-1, 3)
+    else:
+        orgf = org.reshape(-1, 3)
+        df = d.reshape(-1, 3)
     hit = scene_trace_closest(ts, orgf, df, max_steps=max_trace_steps)
+    if tiled:
+        import jax
+
+        hit = jax.tree_util.tree_map(
+            lambda x: untile_order(x, height, width).reshape(-1), hit)
+        df = d.reshape(-1, 3)
     attrs = hit_attributes(ts, hit, df, no_normal_maps=no_normal_maps)
 
     m = hit.hit_mask

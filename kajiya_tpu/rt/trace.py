@@ -157,9 +157,12 @@ def trace_shadow(bvh, tris, org, d, t_min=1e-4, t_max=INF, max_steps=None):
 def scene_trace_closest(ts, org, d, t_min=1e-4, t_max=INF, max_steps=None) -> Hit:
     """Closest-hit against a TraceScene (~ `GbufferRaytrace::trace`)."""
     if ts.woop is not None:
-        from ..ops.woop import intersect_brute
+        from ..ops.woop import CULLED_RAY_BLOCK, intersect_brute
 
-        t, tri, u, v = intersect_brute(ts.woop, org, d, t_min=t_min, t_max=t_max)
+        rb = CULLED_RAY_BLOCK if "cmin" in ts.woop else None
+        t, tri, u, v = intersect_brute(ts.woop, org, d, t_min=t_min,
+                                       t_max=t_max,
+                                       **({"ray_block": rb} if rb else {}))
         return Hit(t=t, tri=tri, u=u, v=v)
     return trace_closest(ts.bvh, ts.tris, org, d, t_min, t_max, max_steps)
 
@@ -167,9 +170,11 @@ def scene_trace_closest(ts, org, d, t_min=1e-4, t_max=INF, max_steps=None) -> Hi
 def scene_trace_shadow(ts, org, d, t_min=1e-4, t_max=INF, max_steps=None):
     """Occlusion against a TraceScene -> (R,) bool (~ `rt_is_shadowed`)."""
     if ts.woop is not None:
-        from ..ops.woop import intersect_brute
+        from ..ops.woop import CULLED_RAY_BLOCK, intersect_brute
 
+        rb = CULLED_RAY_BLOCK if "cmin" in ts.woop else None
         t, tri, _u, _v = intersect_brute(ts.woop, org, d, t_min=t_min,
-                                         t_max=t_max, any_hit=True)
+                                         t_max=t_max, any_hit=True,
+                                         **({"ray_block": rb} if rb else {}))
         return tri >= 0
     return trace_shadow(ts.bvh, ts.tris, org, d, t_min, t_max, max_steps)

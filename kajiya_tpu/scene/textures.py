@@ -77,13 +77,20 @@ def build_texture_pages(image_sources, page_size: int = PAGE_SIZE,
     return [jnp.asarray(m) for m in mips]
 
 
-def sample_pages(pages, page_idx, uv, mip=0):
-    """Bilinear sample. page_idx: (...,) int32 (0 = white), uv: (..., 2),
-    mip: static int. Returns (..., 4)."""
+def sample_pages(pages, page_idx, uv, mip=0, nearest: bool = False):
+    """Texture fetch. page_idx: (...,) int32 (0 = white), uv: (..., 2),
+    mip: static int. Returns (..., 4). `nearest=True` costs ONE gather
+    instead of four — used for non-color maps (MR/emissive/normal), where
+    TPU gather latency dominates and bilinear smoothing matters least."""
     tex = pages[mip]                      # (N, s, s, 4)
     n, s = tex.shape[0], tex.shape[1]
     u = uv[..., 0] - jnp.floor(uv[..., 0])    # wrap addressing
     v = uv[..., 1] - jnp.floor(uv[..., 1])
+    p = jnp.clip(page_idx, 0, n - 1)
+    if nearest:
+        xi = jnp.clip((u * s).astype(jnp.int32), 0, s - 1)
+        yi = jnp.clip((v * s).astype(jnp.int32), 0, s - 1)
+        return tex[p, yi, xi]
     x = u * s - 0.5
     y = v * s - 0.5
     x0 = jnp.floor(x)
@@ -94,7 +101,6 @@ def sample_pages(pages, page_idx, uv, mip=0):
     x1i = jnp.mod(x0i + 1, s)
     y0i = jnp.mod(y0.astype(jnp.int32), s)
     y1i = jnp.mod(y0i + 1, s)
-    p = jnp.clip(page_idx, 0, n - 1)
     c00 = tex[p, y0i, x0i]
     c10 = tex[p, y0i, x1i]
     c01 = tex[p, y1i, x0i]

@@ -66,11 +66,10 @@ class TraceScene:
 
 def build_trace_scene(gpu: GpuScene, leaf_size: int = 4,
                       brute_max_tris: int = CULLED_BRUTE_MAX_TRIS):
-    """Host-side: build BVH topology + Morton permutation once; the device
-    arrays are produced by ONE jitted refresh (eager per-op dispatch over a
-    remote TPU costs ~100ms/op — a 76k-tri scene took minutes un-jitted).
-    Returns (TraceScene, levels) where levels is the opaque static bundle
-    consumed by refresh_trace_scene."""
+    """Host-side: build BVH topology + Morton permutation once; device
+    arrays are produced eagerly on the CPU backend and shipped in one
+    device_put (see inline note). Returns (TraceScene, levels) where levels
+    is the opaque static bundle consumed by refresh_trace_scene."""
     import numpy as np
 
     use_brute = gpu.num_triangles <= brute_max_tris
@@ -234,8 +233,10 @@ def hit_attributes(ts: TraceScene, hit, ray_dir, mip: int = 0,
 
         slots = gpu.mat_tex[mat]                      # (R, 4)
         bc = sample_pages(gpu.tex_pages, slots[:, 0], uv, mip=mip)
-        mr = sample_pages(gpu.tex_pages, slots[:, 1], uv, mip=mip)
-        em = sample_pages(gpu.tex_pages, slots[:, 3], uv, mip=mip)
+        mr = sample_pages(gpu.tex_pages, slots[:, 1], uv, mip=mip,
+                          nearest=True)
+        em = sample_pages(gpu.tex_pages, slots[:, 3], uv, mip=mip,
+                          nearest=True)
         base_color = base_color * bc[:, :3]
         roughness = jnp.clip(roughness * mr[:, 1], 1e-3, 1.0)
         metallic = jnp.clip(metallic * mr[:, 2], 0.0, 1.0)
@@ -243,7 +244,8 @@ def hit_attributes(ts: TraceScene, hit, ray_dir, mip: int = 0,
         # tangent-space normal mapping (the reference applies material
         # normal maps via the vertex TBN; lanes without a normal texture or
         # tangents keep the interpolated normal)
-        nm = sample_pages(gpu.tex_pages, slots[:, 2], uv, mip=mip)
+        nm = sample_pages(gpu.tex_pages, slots[:, 2], uv, mip=mip,
+                          nearest=True)
         tnorm = nm[:, :3] * 2.0 - 1.0
         t_len = jnp.linalg.norm(tangent, axis=-1, keepdims=True)
         t_ok = (t_len[:, 0] > 1e-4) & (slots[:, 2] > 0)

@@ -98,3 +98,28 @@ class TestCulledBrute:
         np.testing.assert_allclose(np.asarray(hit.t)[both],
                                    np.asarray(ref.t)[both], rtol=3e-4,
                                    atol=1e-5)
+
+    def test_tiled_gbuffer_matches_untiled(self):
+        """Tile-ordered tracing must produce the identical gbuffer."""
+        from kajiya_tpu.core.camera import make_view_constants
+        from kajiya_tpu.renderers.gbuffer import raytrace_gbuffer
+        from kajiya_tpu.world import BRUTE_FORCE_MAX_TRIS, build_trace_scene
+
+        n = BRUTE_FORCE_MAX_TRIS + 1000
+        gpu = build_gpu_scene(random_tri_soup(n, seed=11, extent=6.0))
+        ts, _ = build_trace_scene(gpu)
+        assert "cmin" in ts.woop
+        view = make_view_constants((0, 0, 8.0), (0, 0, -1), width=96, height=80)
+        gb = jax.jit(lambda: raytrace_gbuffer(ts, view, 96, 80,
+                                              max_trace_steps=256))()
+        # reference: force the untiled path by stripping clusters
+        w2 = dict(ts.woop)
+        w2.pop("cmin"); w2.pop("cmax")
+        ts2 = build_trace_scene(gpu)[0]
+        ts2.woop = w2
+        gb2 = jax.jit(lambda: raytrace_gbuffer(ts2, view, 96, 80,
+                                               max_trace_steps=256))()
+        np.testing.assert_array_equal(np.asarray(gb["hit"]),
+                                      np.asarray(gb2["hit"]))
+        np.testing.assert_allclose(np.asarray(gb["depth"]),
+                                   np.asarray(gb2["depth"]), rtol=1e-5)
