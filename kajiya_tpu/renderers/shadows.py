@@ -43,8 +43,20 @@ def trace_sun_shadow_mask(ts, gb, frame_idx, max_trace_steps=None):
     n = gb["normal"].reshape(-1, 3)
     facing = jnp.sum(n * sun_dir, axis=-1) > 0.0
     need_ray = gb["hit"].reshape(-1) & facing
-    occ = scene_trace_shadow(ts, pos + gn * RAY_EPS * 8, sun_dir,
-                       t_min=RAY_EPS, max_steps=max_trace_steps)
+    org = pos + gn * RAY_EPS * 8
+    tiled = ts.woop is not None and "cmin" in ts.woop
+    if tiled:
+        # screen-tile chunks keep shadow-ray frustums compact (ops/tiling.py)
+        from ..ops.tiling import tile_order, untile_order
+
+        org_t = tile_order(org.reshape(h, w, 3)).reshape(-1, 3)
+        dir_t = tile_order(sun_dir.reshape(h, w, 3)).reshape(-1, 3)
+        occ_t = scene_trace_shadow(ts, org_t, dir_t, t_min=RAY_EPS,
+                                   max_steps=max_trace_steps)
+        occ = untile_order(occ_t, h, w).reshape(-1)
+    else:
+        occ = scene_trace_shadow(ts, org, sun_dir,
+                                 t_min=RAY_EPS, max_steps=max_trace_steps)
     lit = jnp.where(need_ray, (~occ).astype(jnp.float32), 0.0)
     return lit.reshape(h, w)
 
