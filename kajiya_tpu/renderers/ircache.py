@@ -196,17 +196,18 @@ def trace_update(state, ts, sky_env, diffuse_env, eye, frame_idx,
     pos = state["ircache_pos"]
     live = state["ircache_valid"]
 
-    eid = jnp.arange(e, dtype=jnp.uint32)
-
-    # one flat wavefront of E*S rays (static shape; dead lanes masked)
-    rngs = rng_mod.hash3(jnp.repeat(eid, s),
-                         jnp.uint32(frame_idx),
-                         jnp.tile(jnp.arange(s, dtype=jnp.uint32), e))
+    # one flat wavefront of E*S rays (static shape; dead lanes masked).
+    # broadcast+reshape instead of repeat/tile: identical semantics, but
+    # repeat/tile lower to gather-style HLO that feeds the TPU backend's
+    # crashing fusion path (see the barrier notes below)
+    eid_r = jax.lax.broadcasted_iota(jnp.uint32, (e, s), 0).reshape(-1)
+    sid_r = jax.lax.broadcasted_iota(jnp.uint32, (e, s), 1).reshape(-1)
+    rngs = rng_mod.hash3(eid_r, jnp.uint32(frame_idx), sid_r)
     u1, rngs = rng_mod.rand_u01(rngs)
     u2, rngs = rng_mod.rand_u01(rngs)
     d = uniform_sphere(u1, u2)                       # (E*S, 3)
-    o = jnp.repeat(pos, s, axis=0) + d * 1e-3
-    live_r = jnp.repeat(live, s)
+    o = jnp.broadcast_to(pos[:, None, :], (e, s, 3)).reshape(-1, 3) + d * 1e-3
+    live_r = jnp.broadcast_to(live[:, None], (e, s)).reshape(-1)
 
     hit = scene_trace_closest(ts, o, d, t_min=1e-4,
                         max_steps=max_trace_steps)
