@@ -61,7 +61,8 @@ def _g1_smith(a2, ndotx):
 
 
 def _dot(a, b):
-    return jnp.sum(a * b, axis=-1)
+    return (a[..., 0] * b[..., 0] + a[..., 1] * b[..., 1]
+            + a[..., 2] * b[..., 2])
 
 
 def sample_vndf(roughness, n, wo, u1, u2):
@@ -203,10 +204,12 @@ def env_brdf_approx(roughness, ndotv):
     global _FG_POLY
     if _FG_POLY is None:
         _FG_POLY = _fit_fg_poly()
+    from ..ops.smallvec import matmul_small
+
     c = jnp.asarray(_FG_POLY)
     feats = _poly_features(jnp.clip(roughness, 0.0, 1.0),
                            jnp.clip(ndotv, 0.0, 1.0))
-    out = jnp.einsum("...k,kc->...c", feats, c)
+    out = matmul_small(feats, c)
     return out[..., 0], out[..., 1]
 
 

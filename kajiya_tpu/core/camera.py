@@ -126,6 +126,17 @@ def make_view_constants(
     jitter=(0.0, 0.0),
     prev: "ViewConstants | None" = None,
 ):
+    import jax
+
+    from .._compat import default_cpu_if_eager
+
+    with default_cpu_if_eager():
+        return _make_view_constants(position, forward, fov_y_deg, width,
+                                    height, near, up, jitter, prev)
+
+
+def _make_view_constants(position, forward, fov_y_deg, width, height, near,
+                         up, jitter, prev):
     fov = jnp.deg2rad(jnp.asarray(fov_y_deg, jnp.float32))
     aspect = width / height
     rot = look_rotation(forward, up)
@@ -177,9 +188,11 @@ def camera_rays(view: ViewConstants, width: int, height: int):
     # A point on the near plane in clip space: (x, y, 1, 1) since reversed-Z near==1.
     ones = jnp.ones_like(cs[..., :1])
     clip = jnp.concatenate([cs, ones, ones], axis=-1)  # (H, W, 4)
-    vpos = jnp.einsum("ij,hwj->hwi", view.clip_to_view, clip)
+    from ..ops.smallvec import transform_dirs, transform_h
+
+    vpos = transform_h(view.clip_to_view, clip)
     vpos = vpos[..., :3] / vpos[..., 3:4]
-    wdir = jnp.einsum("ij,hwj->hwi", view.view_to_world[:3, :3], vpos)
+    wdir = transform_dirs(view.view_to_world, vpos)
     wdir = wdir / jnp.linalg.norm(wdir, axis=-1, keepdims=True)
     org = jnp.broadcast_to(view.eye_position, wdir.shape)
     return org, wdir

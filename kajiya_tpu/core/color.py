@@ -7,11 +7,14 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-_LUMA = jnp.array([0.2126, 0.7152, 0.0722], jnp.float32)  # Rec.709
+_LUMA = (0.2126, 0.7152, 0.0722)  # Rec.709
 
 
 def luminance(rgb):
-    return jnp.einsum("...c,c->...", rgb, _LUMA)
+    # explicit channel math: a weighted minor-dim reduce lowers to a tiny-N
+    # dot, which is pathological on this TPU stack (see ops/smallvec.py)
+    return (rgb[..., 0] * _LUMA[0] + rgb[..., 1] * _LUMA[1]
+            + rgb[..., 2] * _LUMA[2])
 
 
 def srgb_encode(linear):

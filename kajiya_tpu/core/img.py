@@ -16,11 +16,14 @@ import jax.numpy as jnp
 
 
 def _gather2d(img, iy, ix):
-    """img[(iy, ix)] with clamped integer indices; iy/ix any equal shape."""
+    """img[(iy, ix)] with clamped integer indices; iy/ix any equal shape.
+    Rides the layout-pinned fast gather path (ops/gather.py::take_rows)."""
+    from ..ops.gather import take_rows
+
     h, w = img.shape[0], img.shape[1]
-    iy = jnp.clip(iy, 0, h - 1)
-    ix = jnp.clip(ix, 0, w - 1)
-    return img[iy, ix]
+    idx = jnp.clip(iy, 0, h - 1) * w + jnp.clip(ix, 0, w - 1)
+    flat = img.reshape((h * w,) + img.shape[2:])
+    return take_rows(flat, idx)
 
 
 def sample_nearest(img, uv):
@@ -103,11 +106,12 @@ def downsample_nearest(img):
 
 def upsample_bilinear(img, out_h: int, out_w: int):
     """Bilinear resize. Exact 2x goes through the gather-free phase weave;
-    other factors use jax.image.resize (weight-matrix tensordots on TPU —
-    far faster than per-pixel gathers)."""
+    other factors sample through the plain-gather path (jax.image.resize
+    lowers to tiny-channel convolutions, which are pathological on this TPU
+    stack — see ops/smallvec.py)."""
     if out_h == img.shape[0] * 2 and out_w == img.shape[1] * 2:
         return upsample2x_bilinear(img)
-    return jax.image.resize(img, (out_h, out_w) + img.shape[2:], "bilinear")
+    return sample_bilinear(img, pixel_uv(out_h, out_w))
 
 
 def shift2d(img, dy: int, dx: int):

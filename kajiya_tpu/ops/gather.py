@@ -24,17 +24,34 @@ RAY_BLOCK = 32768
 # escape hatch while chasing TPU-compiler interactions
 _DISABLE = os.environ.get("KAJIYA_TPU_DISABLE_ONEHOT_GATHER") == "1"
 
+# One-hot matmul gathers were round 1's workaround for "slow gathers"; the
+# real culprit turned out to be tiny-N dots elsewhere wedging the runtime
+# (ops/smallvec.py), and the one-hot dots THEMSELVES lower to tiny-N
+# convolutions. Plain gathers run at HBM bandwidth — default to them.
+_USE_ONEHOT = os.environ.get("KAJIYA_TPU_ONEHOT_GATHER") == "1"
+
+
+def take_rows(table, idx):
+    """Row gather `table[idx]` (in-bounds promised).
+
+    Plain XLA gathers on this TPU run at HBM bandwidth — the ~20 ms "slow
+    gathers" chased in round 2 turned out to be collateral damage of
+    pathological tiny-N dots elsewhere in the program wedging the runtime
+    into a degraded dispatch mode (see ops/smallvec.py). With those gone,
+    nothing special is needed here."""
+    return table.at[idx].get(mode="promise_in_bounds")
+
 
 def gather_rows(table, idx):
     """table: (V, C) or (V,) float/int; idx: (R,) int32 (assumed in-bounds).
     Returns table[idx] computed the fast way for the table size. Integer
     tables ride the same path via exact f32 matmul (values < 2^24)."""
     v = table.shape[0]
-    if _DISABLE or v > ONEHOT_MAX_ROWS:
-        return table[idx]
+    if _DISABLE or not _USE_ONEHOT or v > ONEHOT_MAX_ROWS:
+        return take_rows(table, idx)
     as_int = table.dtype.kind in "iu"
     if not as_int and table.dtype.kind != "f":
-        return table[idx]
+        return take_rows(table, idx)
     squeeze = table.ndim == 1
     tab = table[:, None] if squeeze else table
     if as_int:
@@ -45,8 +62,10 @@ def gather_rows(table, idx):
     nb = idx_p.shape[0] // RAY_BLOCK
 
     def chunk(carry, ib):
+        from .smallvec import dot_pad_n
+
         one = jax.nn.one_hot(ib, v, dtype=tab.dtype)          # (B, V)
-        out = jnp.dot(one, tab, preferred_element_type=jnp.float32)
+        out = dot_pad_n(one, tab)     # N padded: tiny-N dots are pathological
         return carry, out
 
     _, out = jax.lax.scan(chunk, 0, idx_p.reshape(nb, RAY_BLOCK))

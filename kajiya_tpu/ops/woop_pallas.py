@@ -29,7 +29,7 @@ RAY_BLOCK = 512
 
 
 def _kernel(o_ref, d_ref, ao_ref, ad_ref, tmax_ref, t_ref, tri_ref, u_ref,
-            v_ref, *, n_tri_blocks: int, t_min: float):
+            v_ref, *, n_tri_blocks: int, t_min: float, any_hit: bool = False):
     rb = o_ref.shape[1]
     tb = TRI_BLOCK
 
@@ -68,7 +68,9 @@ def _kernel(o_ref, d_ref, ao_ref, ad_ref, tmax_ref, t_ref, tri_ref, u_ref,
               & (t > t_min) & (t < t_best) & (t < tmax))
         t_m = jnp.where(ok, t, jnp.float32(INF))
         bt = jnp.min(t_m, axis=0, keepdims=True)                  # (1, RB)
-        rows = jax.lax.broadcasted_iota(jnp.float32, (tb, rb), 0)
+        # int iota + convert: Mosaic rejects float-typed tpu.iota
+        rows = jax.lax.broadcasted_iota(jnp.int32, (tb, rb), 0
+                                        ).astype(jnp.float32)
         sel = t_m <= bt
         ridx = jnp.min(jnp.where(sel, rows, jnp.float32(tb)), axis=0,
                        keepdims=True)
@@ -85,16 +87,44 @@ def _kernel(o_ref, d_ref, ao_ref, ad_ref, tmax_ref, t_ref, tri_ref, u_ref,
             jnp.full((1, rb), -1.0, jnp.float32),
             jnp.zeros((1, rb), jnp.float32),
             jnp.zeros((1, rb), jnp.float32))
-    t_best, tri_best, u_best, v_best = jax.lax.fori_loop(
-        0, n_tri_blocks, body, init)
+    if any_hit:
+        # occlusion rays: this whole ray block parks as soon as every lane
+        # has found SOME hit (no need for the closest one)
+        def w_cond(st):
+            k, (_t, tri_b, _u, _v) = st
+            return (k < n_tri_blocks) & jnp.any(tri_b < 0.0)
+
+        def w_body(st):
+            k, carry = st
+            return k + 1, body(k, carry)
+
+        _, (t_best, tri_best, u_best, v_best) = jax.lax.while_loop(
+            w_cond, w_body, (jnp.int32(0), init))
+    else:
+        t_best, tri_best, u_best, v_best = jax.lax.fori_loop(
+            0, n_tri_blocks, body, init)
     t_ref[:, :] = t_best
     tri_ref[:, :] = tri_best
     u_ref[:, :] = u_best
     v_ref[:, :] = v_best
 
 
+def intersect_scene_pallas(woop, org, d, t_min=1e-4, t_max=None,
+                           any_hit: bool = False):
+    """Scene-level entry used by rt.trace on TPU. Small scenes run the
+    resident-table Pallas kernel; cluster-culled large scenes currently fall
+    back to the XLA culled tracer (streamed Pallas kernel is the next step)."""
+    if woop.get("cmin") is not None:
+        from .woop import CULLED_RAY_BLOCK, intersect_brute
+
+        return intersect_brute(woop, org, d, t_min=t_min, t_max=t_max,
+                               any_hit=any_hit, ray_block=CULLED_RAY_BLOCK)
+    return intersect_brute_pallas(woop, org, d, t_min=t_min, t_max=t_max,
+                                  any_hit=any_hit)
+
+
 def intersect_brute_pallas(woop, org, d, t_min=1e-4, t_max=None,
-                           interpret: bool = False):
+                           any_hit: bool = False, interpret: bool = False):
     """Pallas twin of `woop.intersect_brute`. Returns (t, tri, u, v)."""
     rtot = org.shape[0]
     ttot = woop["a_d"].shape[0] // 3
@@ -125,7 +155,8 @@ def intersect_brute_pallas(woop, org, d, t_min=1e-4, t_max=None,
 
     grid = (r // RAY_BLOCK,)
     out_shape = [jax.ShapeDtypeStruct((1, r), jnp.float32)] * 4
-    kernel = functools.partial(_kernel, n_tri_blocks=nt, t_min=float(t_min))
+    kernel = functools.partial(_kernel, n_tri_blocks=nt, t_min=float(t_min),
+                               any_hit=any_hit)
     t, tri, u, v = pl.pallas_call(
         kernel,
         grid=grid,

@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ..ops.smallvec import dot3
+
 from ..brdf import ggx
 
 DEBUG_MODES = (
@@ -37,7 +39,7 @@ def light_gbuffer(gb, sun_shadow_mask, diffuse_gi, reflections, sky_bg,
     diffuse_albedo, f0 = ggx.derive_lobes(albedo, metallic[..., 0])
 
     # --- direct sun
-    ndotl = jnp.maximum(jnp.sum(n * sun_direction, axis=-1), 0.0)
+    ndotl = jnp.maximum(dot3(n, sun_direction), 0.0)
     f_sun = ggx.eval_layered(albedo, metallic[..., 0], rough, n, wo,
                              jnp.broadcast_to(sun_direction, n.shape))
     direct = f_sun * sun_radiance * (ndotl * sun_shadow_mask)[..., None]

@@ -24,7 +24,9 @@ from ..world import TraceScene, hit_attributes
 
 def _project(m, p):
     """(4,4) @ (..., 3) homogeneous -> clip (..., 4)."""
-    return jnp.einsum("ij,...j->...i", m[:, :3], p) + m[:, 3]
+    from ..ops.smallvec import matvec
+
+    return matvec(m[:, :3], p) + m[:, 3]
 
 
 def raytrace_gbuffer(ts: TraceScene, view: ViewConstants, width: int, height: int,

@@ -14,6 +14,7 @@ import jax.numpy as jnp
 
 from ..brdf import ggx
 from ..core import img as im
+from ..ops.smallvec import dot3
 from ..rt.trace import scene_trace_shadow
 from ..sky.env import sample_env
 from ..world import hit_attributes
@@ -22,7 +23,9 @@ RAY_EPS = 1e-4
 
 
 def _project_to_uv(world_to_clip, p):
-    clip = jnp.einsum("ij,...j->...i", world_to_clip[:, :3], p) + world_to_clip[:, 3]
+    from ..ops.smallvec import matvec
+
+    clip = matvec(world_to_clip[:, :3], p) + world_to_clip[:, 3]
     w = jnp.maximum(clip[..., 3:4], 1e-8)
     ndc = clip[..., :2] / w
     uv = jnp.stack([0.5 + 0.5 * ndc[..., 0], 0.5 - 0.5 * ndc[..., 1]], -1)
@@ -53,7 +56,7 @@ def hit_radiance(ts, hit, ray_dir, sky_env, diffuse_env,
 
     # --- sun direct at the hit (one shadow ray; the reference's 1 shadow/px)
     sun_dir = jnp.broadcast_to(ts.gpu.sun_direction, pos.shape)
-    cos_s = jnp.maximum(jnp.sum(n * sun_dir, axis=-1), 0.0)
+    cos_s = jnp.maximum(dot3(n, sun_dir), 0.0)
     occ = scene_trace_shadow(ts, pos + attrs["geo_normal"] * RAY_EPS * 8,
                        sun_dir, t_min=RAY_EPS, max_steps=max_trace_steps)
     sun_vis = jnp.where(m & ~occ, cos_s, 0.0)
@@ -90,8 +93,9 @@ def hit_radiance(ts, hit, ray_dir, sky_env, diffuse_env,
         uv, inb = _project_to_uv(view.world_to_clip_prev, pos)
         reused = im.sample_bilinear(prev_lit, uv)
         # depth check: is the stored surface the one we hit?
-        vz_expected = -(jnp.einsum("ij,rj->ri", view.world_to_view_prev[:3, :3],
-                                   pos)[..., 2] + view.world_to_view_prev[2, 3])
+        wv = view.world_to_view_prev
+        vz_expected = -(wv[2, 0] * pos[..., 0] + wv[2, 1] * pos[..., 1]
+                        + wv[2, 2] * pos[..., 2] + wv[2, 3])
         pd = im.sample_nearest(prev_depth, uv)
         vz_stored = near / jnp.maximum(pd, 1e-12)
         same = jnp.abs(vz_stored / jnp.maximum(vz_expected, 1e-6) - 1.0) < 0.05

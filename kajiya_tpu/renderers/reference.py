@@ -18,6 +18,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from ..ops.smallvec import dot3
+
 from ..brdf import ggx
 from ..brdf.sampling import power_heuristic, to_world, uniform_cone, uniform_triangle
 from ..core import rng as rng_mod
@@ -106,7 +108,7 @@ def path_trace(
         # ------- sun NEE (soft disk; pdf cancels against disk radiance)
         if sun_nee:
             sun_dir, rng = _sample_sun(ts, rng)
-            cos_s = jnp.sum(n * sun_dir, axis=-1)
+            cos_s = dot3(n, sun_dir)
             sun_possible = m & (cos_s > 0.0)
             occ = scene_trace_shadow(
                 ts,

@@ -32,9 +32,9 @@ def calculate_reprojection_map(gb, prev_depth, view: ViewConstants,
     # Expected view-z of this surface in the PREVIOUS frame: transform the
     # previous-frame world position. For static geometry pos_prev == pos.
     pos = gb["pos"]
-    vz_prev_expected = -(jnp.einsum(
-        "ij,hwj->hwi", view.world_to_view_prev[:3, :3], pos)[..., 2]
-        + view.world_to_view_prev[2, 3])
+    wv = view.world_to_view_prev
+    vz_prev_expected = -(wv[2, 0] * pos[..., 0] + wv[2, 1] * pos[..., 1]
+                         + wv[2, 2] * pos[..., 2] + wv[2, 3])
 
     prev_d = im.sample_nearest(prev_depth, prev_uv)
     vz_prev_stored = near / jnp.maximum(prev_d, 1e-12)

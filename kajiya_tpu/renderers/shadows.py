@@ -14,6 +14,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ..ops.smallvec import dot3
+
 from ..core import img as im
 from ..core import rng as rng_mod
 from ..brdf.sampling import to_world, uniform_cone
@@ -41,7 +43,7 @@ def trace_sun_shadow_mask(ts, gb, frame_idx, max_trace_steps=None):
     pos = gb["pos"].reshape(-1, 3)
     gn = gb["geo_normal"].reshape(-1, 3)
     n = gb["normal"].reshape(-1, 3)
-    facing = jnp.sum(n * sun_dir, axis=-1) > 0.0
+    facing = dot3(n, sun_dir) > 0.0
     need_ray = gb["hit"].reshape(-1) & facing
     org = pos + gn * RAY_EPS * 8
     tiled = ts.woop is not None and "cmin" in ts.woop

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 from ..core import img as im
 from ..core import rng as rng_mod
 from ..core.camera import ViewConstants
+from ..ops import smallvec as smv
 from .reprojection import reproject_image
 
 _N_DIRS = 4
@@ -36,11 +37,11 @@ def ssao_half(gb, view: ViewConstants, frame_idx, near: float = 0.01):
     ndc = jnp.stack([uv[..., 0] * 2 - 1, 1 - uv[..., 1] * 2], axis=-1)
     c2v = view.clip_to_view
     # reversed-inf-Z: view pos = vz * ray through pixel
-    vdir = jnp.einsum("ij,hwj->hwi", c2v[:3, :2], ndc) + c2v[:3, 2] + c2v[:3, 3]
+    vdir = smv.matvec(c2v[:3, :2], ndc) + c2v[:3, 2] + c2v[:3, 3]
     # normalize so that -z == 1
     vdir = vdir / jnp.maximum(-vdir[..., 2:3], 1e-8)
     vpos = vdir * vz[..., None]
-    vnorm = jnp.einsum("ij,hwj->hwi", view.world_to_view[:3, :3], normal_h)
+    vnorm = smv.transform_dirs(view.world_to_view, normal_h)
 
     px = jnp.arange(hh * hw, dtype=jnp.uint32).reshape(hh, hw)
     rng = rng_mod.pixel_rng(px % jnp.uint32(hw), px // jnp.uint32(hw),
@@ -58,8 +59,7 @@ def ssao_half(gb, view: ViewConstants, frame_idx, near: float = 0.01):
             suv = uv + dir2 * r[..., None] if dir2.ndim == 3 else uv + dir2 * r
             s_vz = near / jnp.maximum(im.sample_nearest(depth_h, suv), 1e-12)
             s_ndc = jnp.stack([suv[..., 0] * 2 - 1, 1 - suv[..., 1] * 2], -1)
-            s_vdir = (jnp.einsum("ij,hwj->hwi", c2v[:3, :2], s_ndc)
-                      + c2v[:3, 2] + c2v[:3, 3])
+            s_vdir = smv.matvec(c2v[:3, :2], s_ndc) + c2v[:3, 2] + c2v[:3, 3]
             s_vdir = s_vdir / jnp.maximum(-s_vdir[..., 2:3], 1e-8)
             s_vpos = s_vdir * s_vz[..., None]
             delta = s_vpos - vpos

@@ -268,8 +268,11 @@ def bvh_from_scene(gpu_scene, leaf_size: int = 4):
     """Build BVH over a GpuScene's current world-space triangles.
     Returns (bvh (device), levels, (v0, e1, e2) world triangle SoA).
     Large meshes use the native C++ builder when the toolchain allows."""
-    v0, e1, e2 = gpu_scene.triangle_corners()
-    v0n, e1n, e2n = np.asarray(v0), np.asarray(e1), np.asarray(e2)
+    from .._compat import default_cpu_if_eager
+
+    with default_cpu_if_eager():
+        v0, e1, e2 = gpu_scene.triangle_corners()
+        v0n, e1n, e2n = np.asarray(v0), np.asarray(e1), np.asarray(e2)
     p1, p2 = v0n + e1n, v0n + e2n
     tmin = np.minimum(np.minimum(v0n, p1), p2)
     tmax = np.maximum(np.maximum(v0n, p1), p2)
@@ -280,5 +283,6 @@ def bvh_from_scene(gpu_scene, leaf_size: int = 4):
             bvh, levels = build_bvh(tmin, tmax, leaf_size=leaf_size)
     else:
         bvh, levels = build_bvh(tmin, tmax, leaf_size=leaf_size)
-    bvh = jax.tree_util.tree_map(jnp.asarray, bvh)
+    with default_cpu_if_eager():
+        bvh = jax.tree_util.tree_map(jnp.asarray, bvh)
     return bvh, levels, (v0, e1, e2)

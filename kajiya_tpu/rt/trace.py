@@ -150,13 +150,26 @@ def trace_shadow(bvh, tris, org, d, t_min=1e-4, t_max=INF, max_steps=None):
 
 
 # ----------------------------------------------------------------------------
-# Scene-level dispatch: MXU brute-force (ops/woop.py) for small scenes,
-# skip-link BVH traversal otherwise. All renderer passes go through these.
+# Scene-level dispatch: Pallas brute-force intersector on TPU (ops/
+# woop_pallas.py — tri tests stay in VMEM/registers, no HBM intermediates),
+# XLA brute-force elsewhere (CPU tests / culled large scenes), skip-link BVH
+# traversal beyond the brute-force range. All renderer passes go through
+# these two functions — they are the software `TraceRay`.
 # ----------------------------------------------------------------------------
+
+def _use_pallas(ts) -> bool:
+    return jax.devices()[0].platform == "tpu"
+
 
 def scene_trace_closest(ts, org, d, t_min=1e-4, t_max=INF, max_steps=None) -> Hit:
     """Closest-hit against a TraceScene (~ `GbufferRaytrace::trace`)."""
     if ts.woop is not None:
+        if _use_pallas(ts):
+            from ..ops.woop_pallas import intersect_scene_pallas
+
+            t, tri, u, v = intersect_scene_pallas(ts.woop, org, d,
+                                                  t_min=t_min, t_max=t_max)
+            return Hit(t=t, tri=tri, u=u, v=v)
         from ..ops.woop import CULLED_RAY_BLOCK, intersect_brute
 
         rb = CULLED_RAY_BLOCK if "cmin" in ts.woop else None
@@ -170,6 +183,12 @@ def scene_trace_closest(ts, org, d, t_min=1e-4, t_max=INF, max_steps=None) -> Hi
 def scene_trace_shadow(ts, org, d, t_min=1e-4, t_max=INF, max_steps=None):
     """Occlusion against a TraceScene -> (R,) bool (~ `rt_is_shadowed`)."""
     if ts.woop is not None:
+        if _use_pallas(ts):
+            from ..ops.woop_pallas import intersect_scene_pallas
+
+            _t, tri, _u, _v = intersect_scene_pallas(
+                ts.woop, org, d, t_min=t_min, t_max=t_max, any_hit=True)
+            return tri >= 0
         from ..ops.woop import CULLED_RAY_BLOCK, intersect_brute
 
         rb = CULLED_RAY_BLOCK if "cmin" in ts.woop else None

@@ -148,7 +148,23 @@ class GpuScene:
 
 def build_gpu_scene(scene: Scene, max_lights: int = 4096,
                     with_textures: bool = True) -> GpuScene:
-    """Flatten host Scene into a GpuScene (numpy -> device arrays)."""
+    """Flatten host Scene into a GpuScene.
+
+    The tables are committed to the CPU backend; `build_trace_scene` ships
+    the finished bundle to the accelerator in one device_put. Keeping every
+    host-side build step off the TPU matters doubly here: per-op eager
+    dispatch through the remote-TPU tunnel is slow, and ANY device->host
+    readback from the TPU permanently drops the session into a synchronous
+    ~41 ms/dispatch mode (measured; see ops/smallvec.py for the op-level
+    pathologies)."""
+    import jax
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        return _build_gpu_scene(scene, max_lights, with_textures)
+
+
+def _build_gpu_scene(scene: Scene, max_lights: int = 4096,
+                     with_textures: bool = True) -> GpuScene:
     verts, normals, tangents, uvs, vert_inst = [], [], [], [], []
     tri_idx, tri_mat, tri_inst = [], [], []
     materials = []

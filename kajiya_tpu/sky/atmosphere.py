@@ -77,7 +77,8 @@ def sky_radiance(direction, sun_direction, altitude: float = 200.0, steps: int =
     dist = _ray_sphere_exit(jnp.full_like(mu, r0), jnp.maximum(mu, -0.03))
     ds = dist / steps
 
-    cos_sun = jnp.sum(d * sun_direction, axis=-1)
+    from ..ops.smallvec import dot3
+    cos_sun = dot3(d, sun_direction)
     ph_r = _phase_rayleigh(cos_sun)[..., None]
     ph_m = _phase_mie(cos_sun)[..., None]
     mu_s = sun_direction[1]

@@ -91,9 +91,11 @@ def _convolve_matrix(res_in: int, res_out: int):
 def convolve_diffuse(env, res_out: int = DIFFUSE_RES):
     """Cosine-convolve a sky map -> (res_out, res_out, 3) irradiance/pi map
     (the 'convolve sky' pass). One MXU matmul."""
+    from ..ops.smallvec import dot_pad_n
+
     res_in = env.shape[0]
     m = jnp.asarray(_convolve_matrix(res_in, res_out))
-    out = jnp.dot(m, env.reshape(-1, 3), preferred_element_type=jnp.float32)
+    out = dot_pad_n(m, env.reshape(-1, 3))
     return out.reshape(res_out, res_out, 3)
 
 
@@ -155,10 +157,11 @@ def _sh9_project_matrix(res: int):
 
 def project_sh9(env_map):
     """(res, res, 3) radiance map -> (9, 3) SH radiance coefficients."""
+    from ..ops.smallvec import dot_pad_n
+
     res = env_map.shape[0]
     m = jnp.asarray(_sh9_project_matrix(res))
-    return jnp.dot(m.T, env_map.reshape(-1, 3),
-                   preferred_element_type=jnp.float32)
+    return dot_pad_n(m.T, env_map.reshape(-1, 3))
 
 
 def sh9_irradiance_fn(sh_coeffs):
@@ -168,8 +171,9 @@ def sh9_irradiance_fn(sh_coeffs):
     conv = sh_coeffs * a[:, None] / jnp.pi      # fold the /pi in
 
     def fetch(n):
+        from ..ops.smallvec import matmul_small
+
         basis = _sh9_basis(n)
-        return jnp.maximum(
-            jnp.einsum("...k,kc->...c", basis, conv), 0.0)
+        return jnp.maximum(matmul_small(basis, conv), 0.0)
 
     return fetch
