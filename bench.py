@@ -68,7 +68,9 @@ def main():
         # the remote compiler's SIGILL is flaky (graph-hash sensitive):
         # retry the same config before degrading
         for attempt in range(2):
-            step = jax.jit(
+            from kajiya_tpu.ops.hoist import jit_hoisted
+
+            step = jit_hoisted(
                 lambda s, _cfg=cfg: render_frame(ts, s, view, _cfg,
                                                  levels=levels))
             try:

@@ -100,6 +100,22 @@ def sample_vndf(roughness, n, wo, u1, u2):
     return wi
 
 
+def pdf_vndf(roughness, n, wo, wi):
+    """Solid-angle pdf of `sample_vndf` for direction wi:
+    pdf = G1(wo) * D(h) / (4 * n.wo)  (Heitz 2018, eq. 3 with the reflect
+    Jacobian folded in). Used as the ReSTIR source pdf for reflection
+    candidates (`rtr_restir_temporal.hlsl` counterpart)."""
+    a = jnp.maximum(roughness, MIN_ROUGHNESS) ** 2
+    a2 = a * a
+    h = wi + wo
+    h = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-12)
+    ndotv = jnp.maximum(_dot(n, wo), 1e-6)
+    ndoth = jnp.clip(_dot(n, h), 0.0, 1.0)
+    d = ndf_ggx(a2, ndoth)
+    g1 = _g1_smith(a2, ndotv)
+    return jnp.maximum(g1 * d / (4.0 * ndotv), 1e-12)
+
+
 # ----------------------------------------------------------------------------
 # Preintegrated FG (Fresnel-Geometry) energy LUT, computed once at import
 # (counterpart of `lut/brdf_fg.hlsl` computed once at startup).

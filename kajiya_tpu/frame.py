@@ -217,8 +217,9 @@ def render_frame(ts, state, view: ViewConstants, cfg: RenderConfig,
 
     # --- diffuse GI
     restir_state = {k: v for k, v in state.items() if k.startswith("gi_res_")}
+    rtdgi_candidates = None
     if cfg.use_rtdgi:
-        dgi, rtdgi_state, restir_state = rtdgi.rtdgi_pipeline(
+        dgi, rtdgi_state, restir_state, rtdgi_candidates = rtdgi.rtdgi_pipeline(
             ts, gb, view, frame_idx,
             {"rtdgi_history": state["rtdgi_history"],
              "rtdgi_hist_len": state["rtdgi_hist_len"]},
@@ -235,23 +236,21 @@ def render_frame(ts, state, view: ViewConstants, cfg: RenderConfig,
                        "rtdgi_hist_len": state["rtdgi_hist_len"]}
 
     # --- reflections
+    rtr_keys = [k for k in state if k.startswith("rtr_")]
     if cfg.use_rtr:
         refl, rtr_state = rtr.rtr_pipeline(
             ts, gb, view, frame_idx,
-            {"rtr_history": state["rtr_history"],
-             "rtr_hist_len": state["rtr_hist_len"],
-             "rtr_ray_len": state["rtr_ray_len"]},
+            {k: state[k] for k in rtr_keys},
             reproj, sky_env, diffuse_env,
             prev_lit=state["prev_lit"], prev_depth=state["prev_depth"],
             ircache_lookup=ircache_lookup, max_trace_steps=mts,
-            mesh_light_specular=cfg.use_mesh_light_specular)
+            mesh_light_specular=cfg.use_mesh_light_specular,
+            rtdgi_candidates=rtdgi_candidates)
     else:
         refl = sky_env_mod.sample_env(
             sky_env, _reflect(gb["ray_dir"], gb["normal"]).reshape(-1, 3)
         ).reshape(h, w, 3)
-        rtr_state = {"rtr_history": state["rtr_history"],
-                     "rtr_hist_len": state["rtr_hist_len"],
-                     "rtr_ray_len": state["rtr_ray_len"]}
+        rtr_state = {k: state[k] for k in rtr_keys}
 
     # --- deferred combine (light_gbuffer). The background sky is smooth:
     # evaluate at quarter res and upsample (4x fewer atmosphere marches)
@@ -396,7 +395,9 @@ class Renderer:
             return render_frame(ts, state, view, cfg, levels=levels,
                                 ibl_env=ibl_env)
 
-        self._frame = jax.jit(_frame)
+        from .ops.hoist import jit_hoisted
+
+        self._frame = jit_hoisted(_frame)
 
     def draw(self, view: ViewConstants):
         """Render one frame, advancing temporal state. Returns outputs dict."""

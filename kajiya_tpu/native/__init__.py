@@ -18,13 +18,23 @@ _LIBS = {}
 
 
 def _build(name: str) -> str:
+    """Compile (or reuse) lib{name}.so, keyed on a content hash of the
+    source so stale binaries can never be used (git does not preserve
+    mtimes; prebuilt .so files are not committed). -march=native is opt-in
+    via KAJIYA_TPU_NATIVE_MARCH to keep binaries portable across hosts."""
+    import hashlib
+
     src = os.path.join(_DIR, f"{name}.cpp")
-    out = os.path.join(_DIR, "_build", f"lib{name}.so")
+    with open(src, "rb") as f:
+        tag = hashlib.sha256(f.read()).hexdigest()[:16]
+    out = os.path.join(_DIR, "_build", f"lib{name}-{tag}.so")
     os.makedirs(os.path.dirname(out), exist_ok=True)
-    if (not os.path.exists(out)
-            or os.path.getmtime(out) < os.path.getmtime(src)):
-        cmd = ["g++", "-O2", "-march=native", "-shared", "-fPIC",
-               "-std=c++17", src, "-o", out]
+    if not os.path.exists(out):
+        cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17"]
+        march = os.environ.get("KAJIYA_TPU_NATIVE_MARCH")
+        if march:
+            cmd.append(f"-march={march}")
+        cmd += [src, "-o", out]
         subprocess.run(cmd, check=True, capture_output=True)
     return out
 

@@ -186,9 +186,18 @@ def intersect_brute(woop, org, d, t_min=1e-4, t_max=None, any_hit=False,
                                         tmax_blk, cur_t, cur_tri, cur_u,
                                         cur_v, s, any_hit)
 
+            # occlusion rays need ANY hit: once every live ray in the chunk
+            # has one, the remaining blocks are skipped via the same scalar
+            # branch as cluster culling (the any-hit early-out)
+            need = None
+            if any_hit:
+                need = jnp.any((st[1] < 0) & (tmax_blk > t_min))
             if cluster_mask is None:
-                return do(st), None
-            return jax.lax.cond(cluster_mask[i], do, lambda s_: s_, st), None
+                if need is None:
+                    return do(st), None
+                return jax.lax.cond(need, do, lambda s_: s_, st), None
+            pred = cluster_mask[i] if need is None else cluster_mask[i] & need
+            return jax.lax.cond(pred, do, lambda s_: s_, st), None
 
         init = (jnp.full((ray_block,), INF, jnp.float32),
                 jnp.full((ray_block,), -1, jnp.int32),

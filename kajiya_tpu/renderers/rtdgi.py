@@ -143,4 +143,6 @@ def rtdgi_pipeline(ts, gb, view, frame_idx, state, reproj, sky_env,
         out = out * (0.3 + 0.7 * ssao[..., None])
 
     new_state = {"rtdgi_history": out, "rtdgi_hist_len": hist_len}
-    return out, new_state, new_restir_state
+    # candidates are also returned so RTR can reuse the diffuse rays for
+    # rough reflections (rtr.rs:33 reuse_rtdgi_rays)
+    return out, new_state, new_restir_state, candidates

@@ -1,34 +1,60 @@
-"""RTR — ray-traced reflections (half-res, VNDF-sampled) with temporal reuse.
+"""RTR — ray-traced reflections (half-res, VNDF-sampled) with ReSTIR
+temporal reservoir reuse, validation, and contact hardening.
 
 Role of `renderers/rtr.rs:90-400` + `assets/shaders/rtr/*`
 (doc `gi-overview.md:302-350`): half-res GGX VNDF reflection rays, hit
-lighting, ReSTIR-temporal reuse, BRDF-footprint resolve to full res,
-temporal filter, ray-length output for contact hardening.
+lighting, ReSTIR-temporal reservoir exchange (`rtr_restir_temporal.hlsl`),
+quarter-res validation of stored reservoir rays
+(`reflection_validate.rgen.hlsl`), rtdgi candidate-ray reuse at high
+roughness (`rtr.rs:33` reuse_rtdgi_rays), BRDF-footprint resolve to full
+res, temporal filter, and a ray-length channel consumed for contact
+hardening (`rtr.rs:18-73`).
 
-v1 implements trace + joint-bilateral resolve + temporal filter with
-roughness-aware accumulation; the reservoir exchange upgrades in restir.py.
-Output = pre-integrated outgoing specular radiance; the deferred combine
-multiplies the preintegrated-FG energy term (split-sum, deferred.py).
+Estimator layout (split-sum): the pipeline outputs the lobe-average of
+incoming radiance E_pdf[L]; the deferred combine multiplies the
+preintegrated FG energy term (deferred.py). With the ReSTIR target
+p_hat = luminance(L) * pdf_vndf_here(wi), the unbiased contribution
+radiance * pdf_here * W collapses to (L / lum(L)) * w_sum / M, which for a
+single fresh candidate reduces exactly to the plain traced estimate — so
+reservoir reuse only ever adds effective samples.
+
+Reservoirs are planar arrays (ops/reservoir.py), exchanged with one wide
+packed gather per pass — the TPU-native form of the reference's
+RWTexture reservoir ping-pong.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..brdf import ggx
 from ..core import img as im
 from ..core import rng as rng_mod
+from ..core.color import luminance
+from ..ops import reservoir as rsv
 from .hit_lighting import hit_radiance
-from .reprojection import reproject_image, reproject_planes
+from .reprojection import reproject_planes
 from ..rt.trace import scene_trace_closest
 
 RAY_EPS = 1e-4
+VALIDATE_PERIOD = 3       # re-check stored rays every 3rd frame (quarter res)
+RTDGI_REUSE_ROUGHNESS = 0.55   # above this, rtdgi candidates join the RIS
 
 
 def init_state(h: int, w: int):
+    hh, hw = h // 2, w // 2
     return {
         "rtr_history": jnp.zeros((h, w, 3), jnp.float32),
         "rtr_hist_len": jnp.zeros((h, w), jnp.float32),
         "rtr_ray_len": jnp.zeros((h, w), jnp.float32),
+        # half-res reflection reservoirs (rtr_restir_temporal.hlsl state)
+        "rtr_res_radiance": jnp.zeros((hh, hw, 3), jnp.float32),
+        "rtr_res_dir": jnp.zeros((hh, hw, 3), jnp.float32),
+        "rtr_res_t": jnp.zeros((hh, hw), jnp.float32),
+        "rtr_res_w_sum": jnp.zeros((hh, hw), jnp.float32),
+        "rtr_res_M": jnp.zeros((hh, hw), jnp.float32),
+        "rtr_res_W": jnp.zeros((hh, hw), jnp.float32),
+        "rtr_res_p_hat": jnp.zeros((hh, hw), jnp.float32),
     }
 
 
@@ -36,7 +62,7 @@ def trace_reflections(ts, gb, frame_idx, sky_env, diffuse_env,
                       prev_lit=None, prev_depth=None, view=None,
                       ircache_lookup=None, max_trace_steps=None):
     """Half-res reflection trace (`reflection.rgen.hlsl`): one VNDF ray per
-    half-res pixel. Returns dict(radiance, ray_t, wi, valid) at half res."""
+    half-res pixel. Returns dict(radiance, ray_t, wi, pdf, valid)."""
     pos = gb["pos"][::2, ::2]
     n = gb["normal"][::2, ::2]
     gn = gb["geo_normal"][::2, ::2]
@@ -59,6 +85,7 @@ def trace_reflections(ts, gb, frame_idx, sky_env, diffuse_env,
     wi = jnp.where(below[:, None],
                    wi - 2.0 * jnp.sum(wi * nf, -1, keepdims=True) * nf, wi)
     wi = wi / jnp.maximum(jnp.linalg.norm(wi, axis=-1, keepdims=True), 1e-12)
+    pdf = ggx.pdf_vndf(rough.reshape(-1), nf, wo, wi)
 
     org = pos.reshape(-1, 3) + gn.reshape(-1, 3) * RAY_EPS * 8
     hit = scene_trace_closest(ts, org, wi, t_min=RAY_EPS,
@@ -72,30 +99,203 @@ def trace_reflections(ts, gb, frame_idx, sky_env, diffuse_env,
         "radiance": jnp.where(valid[:, None], rad, 0.0).reshape(hh, hw, 3),
         "ray_t": jnp.minimum(hit.t, 1e8).reshape(hh, hw),
         "wi": wi.reshape(hh, hw, 3),
+        "pdf": pdf.reshape(hh, hw),
         "valid": valid.reshape(hh, hw),
     }
 
 
-def _resolve_full(half, gb, near: float = 0.01):
+# ----------------------------------------------------------------------------
+# ReSTIR temporal reservoir exchange (rtr_restir_temporal.hlsl)
+# ----------------------------------------------------------------------------
+
+def _pack_res(state):
+    return {
+        "payload": {"radiance": state["rtr_res_radiance"],
+                    "dir": state["rtr_res_dir"],
+                    "t": state["rtr_res_t"]},
+        "w_sum": state["rtr_res_w_sum"],
+        "M": state["rtr_res_M"],
+        "W": state["rtr_res_W"],
+        "p_hat": state["rtr_res_p_hat"],
+    }
+
+
+def _unpack_res(r):
+    return {
+        "rtr_res_radiance": r["payload"]["radiance"],
+        "rtr_res_dir": r["payload"]["dir"],
+        "rtr_res_t": r["payload"]["t"],
+        "rtr_res_w_sum": r["w_sum"],
+        "rtr_res_M": r["M"],
+        "rtr_res_W": r["W"],
+        "rtr_res_p_hat": r["p_hat"],
+    }
+
+
+def restir_reflections(state, half, gb, reproj, frame_idx,
+                       rtdgi_candidates=None):
+    """Temporal reservoir resampling for reflections. Returns
+    (spec (hh,hw,3) lobe-average radiance, ray_len (hh,hw), new res state).
+
+    Target function: p_hat = lum(L) * pdf_vndf at THIS pixel, so reuse from
+    the previous frame is weighted by how compatible the stored direction is
+    with the current lobe — mirrors get no cross-lobe bleeding, rough pixels
+    reuse freely."""
+    hh, hw = half["valid"].shape
+    n = gb["normal"][::2, ::2].reshape(-1, 3)
+    wo = -gb["ray_dir"][::2, ::2].reshape(-1, 3)
+    rough_h = gb["roughness"][::2, ::2]
+    rough = rough_h.reshape(-1)
+
+    px = jnp.arange(hh * hw, dtype=jnp.uint32).reshape(hh, hw)
+    rng = rng_mod.pixel_rng(px % jnp.uint32(hw), px // jnp.uint32(hw),
+                            jnp.uint32(frame_idx), stream=37)
+
+    def p_hat_of(radiance, direction):
+        lum = luminance(radiance.reshape(-1, 3))
+        pdf_here = ggx.pdf_vndf(rough, n, wo, direction.reshape(-1, 3))
+        cos_ok = jnp.sum(direction.reshape(-1, 3) * n, axis=-1) > 0.0
+        return jnp.where(cos_ok, lum * pdf_here, 0.0).reshape(hh, hw)
+
+    # ---- fresh candidate (M=1): w = p_hat / pdf_vndf = lum(L)
+    cand_payload = {"radiance": half["radiance"], "dir": half["wi"],
+                    "t": half["ray_t"]}
+    p_hat_c = p_hat_of(half["radiance"], half["wi"])
+    w_c = p_hat_c / jnp.maximum(half["pdf"], 1e-12)
+    cur = rsv.init((hh, hw), cand_payload)
+    u, rng = rng_mod.rand_u01(rng)
+    cur = rsv.update(cur, cand_payload, w_c.reshape(hh, hw), p_hat_c, u,
+                     mask=half["valid"])
+
+    # ---- rtdgi candidate reuse at high roughness (rtr.rs:33): the diffuse
+    # candidate ray doubles as a second specular candidate for rough lobes,
+    # at zero extra rays. Source pdf = cosine hemisphere.
+    if rtdgi_candidates is not None:
+        gi_dir = rtdgi_candidates["ray_dir"]
+        gi_rad = rtdgi_candidates["radiance"]
+        gi_t = rtdgi_candidates["ray_t"]
+        cosg = jnp.maximum(jnp.sum(gi_dir.reshape(-1, 3) * n, -1), 0.0)
+        pdf_cos = jnp.maximum(cosg / jnp.pi, 1e-12)
+        p_hat_g = p_hat_of(gi_rad, gi_dir)
+        w_g = (p_hat_g.reshape(-1) / pdf_cos).reshape(hh, hw)
+        ok = (half["valid"] & rtdgi_candidates["valid"]
+              & (rough_h > RTDGI_REUSE_ROUGHNESS))
+        u, rng = rng_mod.rand_u01(rng)
+        cur = rsv.update(
+            cur, {"radiance": gi_rad, "dir": gi_dir, "t": gi_t},
+            w_g, p_hat_g, u, mask=ok)
+
+    # ---- temporal merge with the reprojected previous reservoir
+    prev = _pack_res(state)
+    packed_prev = jnp.concatenate([
+        prev["payload"]["radiance"], prev["payload"]["dir"],
+        prev["payload"]["t"][..., None], prev["w_sum"][..., None],
+        prev["M"][..., None], prev["W"][..., None],
+        prev["p_hat"][..., None]], axis=-1)
+    f = im.sample_nearest(packed_prev, reproj["prev_uv"][::2, ::2])
+    prev_f = {
+        "payload": {"radiance": f[..., 0:3], "dir": f[..., 3:6],
+                    "t": f[..., 6]},
+        "w_sum": f[..., 7], "M": f[..., 8], "W": f[..., 9],
+        "p_hat": f[..., 10],
+    }
+    # roughness-scaled M clamp: mirrors keep little history (reflections
+    # change under parallax), rough lobes accumulate up to ~12 samples
+    m_clamp = 1.0 + rough_h * 11.0
+    prev_f = rsv.clamp_m(prev_f, m_clamp)
+    p_hat_t = p_hat_of(prev_f["payload"]["radiance"], prev_f["payload"]["dir"])
+    validity = reproj["validity"][::2, ::2]
+    u, rng = rng_mod.rand_u01(rng)
+    cur = rsv.merge(cur, prev_f, p_hat_t, u,
+                    mask=(validity > 0.5) & half["valid"])
+
+    # ---- unbiased lobe-average estimate:
+    # E[L] ~= L * pdf_here * W  ==  (L / lum(L)) * w_sum / M
+    sel_rad = cur["payload"]["radiance"]
+    sel_phat = p_hat_of(sel_rad, cur["payload"]["dir"])
+    est = sel_rad * (sel_phat * cur["W"])[..., None] / jnp.maximum(
+        luminance(sel_rad), 1e-8)[..., None]
+    # guard: reservoirs that never saw a sample fall back to the fresh trace
+    est = jnp.where((cur["M"] > 0.0)[..., None], est, half["radiance"])
+    ray_len = jnp.where(cur["M"] > 0.0, cur["payload"]["t"], half["ray_t"])
+    return est, ray_len, _unpack_res(cur)
+
+
+def validate_reservoirs(ts, state, gb, sky_env, diffuse_env, frame_idx,
+                        prev_lit=None, prev_depth=None, view=None,
+                        ircache_lookup=None, max_trace_steps=None):
+    """Quarter-res re-trace of stored reservoir rays
+    (`reflection_validate.rgen.hlsl`, every 3rd frame,
+    `gi-overview.md:346-350`): where the fresh radiance disagrees with the
+    stored one, the stored sample is replaced and its history cut, so stale
+    reflections (moved lights/objects) die within one validation period."""
+    hh, hw = state["rtr_res_t"].shape
+    # quarter-res subset: every 2nd reservoir in each dimension
+    pos_q = gb["pos"][::4, ::4]
+    gn_q = gb["geo_normal"][::4, ::4]
+    dir_q = state["rtr_res_dir"][::2, ::2]
+    rad_q = state["rtr_res_radiance"][::2, ::2]
+    qh, qw = dir_q.shape[:2]
+
+    d = dir_q.reshape(-1, 3)
+    live = jnp.linalg.norm(d, axis=-1) > 0.5
+    d = jnp.where(live[:, None], d, jnp.array([0.0, 1.0, 0.0]))
+    org = pos_q.reshape(-1, 3) + gn_q.reshape(-1, 3) * RAY_EPS * 8
+    hit = scene_trace_closest(ts, org, d, t_min=RAY_EPS,
+                              max_steps=max_trace_steps)
+    fresh = hit_radiance(ts, hit, d, sky_env, diffuse_env,
+                         prev_lit=prev_lit, prev_depth=prev_depth, view=view,
+                         ircache_lookup=ircache_lookup,
+                         max_trace_steps=max_trace_steps)
+    lum_old = luminance(rad_q.reshape(-1, 3))
+    lum_new = luminance(fresh)
+    mismatch = (jnp.abs(lum_new - lum_old)
+                > 0.3 * jnp.maximum(jnp.maximum(lum_old, lum_new), 1e-3))
+    invalid = (mismatch & live).reshape(qh, qw)
+
+    # scatter back to half res: each validated reservoir covers a 2x2 block
+    inv_h = jnp.repeat(jnp.repeat(invalid, 2, axis=0), 2, axis=1)[:hh, :hw]
+    fresh_h = jnp.repeat(jnp.repeat(fresh.reshape(qh, qw, 3), 2, axis=0),
+                         2, axis=1)[:hh, :hw]
+
+    new = dict(state)
+    new["rtr_res_radiance"] = jnp.where(inv_h[..., None], fresh_h,
+                                        state["rtr_res_radiance"])
+    # cut history: the replaced sample restarts with M=1, W from its own lum
+    new["rtr_res_M"] = jnp.where(inv_h, 1.0, state["rtr_res_M"])
+    new["rtr_res_w_sum"] = jnp.where(
+        inv_h, luminance(fresh_h), state["rtr_res_w_sum"])
+    return new
+
+
+def _resolve_full(spec_h, ray_len_h, gb, near: float = 0.01):
     """Half->full joint-bilateral resolve, roughness-aware (role of
-    `rtr/resolve.hlsl`'s BRDF-footprint gather) — gather-free phase weave."""
+    `rtr/resolve.hlsl`'s BRDF-footprint gather) — gather-free phase weave.
+    Contact hardening: taps whose hit distance is much shorter than the
+    neighborhood's tighten the kernel (short rays = sharp contact
+    reflections; the reference drives this off its ray-len texture)."""
     vz = near / jnp.maximum(gb["depth"], 1e-12)
     vz_h = near / jnp.maximum(gb["depth"][::2, ::2], 1e-12)
     n_full = gb["normal"]
     n_h = gb["normal"][::2, ::2]
 
-    v_taps, weights = im.half_to_full_taps(half["radiance"])
-    t_taps, _ = im.half_to_full_taps(half["ray_t"])
+    v_taps, weights = im.half_to_full_taps(spec_h)
+    t_taps, _ = im.half_to_full_taps(ray_len_h)
     z_taps, _ = im.half_to_full_taps(vz_h)
     n_taps, _ = im.half_to_full_taps(n_h)
 
+    t_center = t_taps[0]
     acc = jnp.zeros_like(v_taps[0])
     acct = jnp.zeros_like(t_taps[0])
     accw = jnp.zeros_like(t_taps[0])
     for v, t, zz, nn, bw in zip(v_taps, t_taps, z_taps, n_taps, weights):
         w_z = jnp.exp(-jnp.abs(zz - vz) / (0.05 * vz + 1e-4))
         w_n = jnp.maximum(jnp.sum(nn * n_full, axis=-1), 0.0) ** 16
-        wt = bw * w_z * w_n + 1e-6
+        # contact hardening: a tap with a much longer hit distance than the
+        # nearest tap must not blur into the contact region
+        w_t = 1.0 / (1.0 + 2.0 * jnp.abs(t - t_center)
+                     / (jnp.minimum(t, t_center) + 1e-3))
+        wt = bw * w_z * w_n * w_t + 1e-6
         acc = acc + v * wt[..., None]
         acct = acct + t * wt
         accw = accw + wt
@@ -104,7 +304,8 @@ def _resolve_full(half, gb, near: float = 0.01):
 
 def rtr_pipeline(ts, gb, view, frame_idx, state, reproj, sky_env, diffuse_env,
                  prev_lit=None, prev_depth=None, ircache_lookup=None,
-                 max_trace_steps=None, half=None, mesh_light_specular=False):
+                 max_trace_steps=None, half=None, mesh_light_specular=False,
+                 rtdgi_candidates=None, use_restir: bool = True):
     """Full chain -> (specular radiance (H, W, 3), new_state)."""
     if half is None:
         half = trace_reflections(
@@ -121,15 +322,41 @@ def rtr_pipeline(ts, gb, view, frame_idx, state, reproj, sky_env, diffuse_env,
         half["radiance"] = half["radiance"] + sample_lights_specular(
             ts, gb, frame_idx, max_trace_steps=max_trace_steps)
 
-    full, ray_len = _resolve_full(half, gb)
+    res_keys = [k for k in state if k.startswith("rtr_res_")]
+    if use_restir and res_keys:
+        # validation runs every VALIDATE_PERIOD frames, before the exchange
+        res_state = {k: state[k] for k in res_keys}
+
+        def do_validate(rs):
+            return validate_reservoirs(
+                ts, rs, gb, sky_env, diffuse_env, frame_idx,
+                prev_lit=prev_lit, prev_depth=prev_depth, view=view,
+                ircache_lookup=ircache_lookup,
+                max_trace_steps=max_trace_steps)
+
+        res_state = jax.lax.cond(
+            jnp.asarray(frame_idx, jnp.int32) % VALIDATE_PERIOD == 0,
+            do_validate, lambda rs: rs, res_state)
+        spec_h, ray_len_h, res_state = restir_reflections(
+            res_state, half, gb, reproj, frame_idx,
+            rtdgi_candidates=rtdgi_candidates)
+    else:
+        spec_h, ray_len_h = half["radiance"], half["ray_t"]
+        res_state = {k: state[k] for k in res_keys}
+
+    full, ray_len = _resolve_full(spec_h, ray_len_h, gb)
 
     # temporal: rougher surfaces tolerate longer history; mirrors converge
-    # fast anyway (temporal_filter.hlsl + spatial_cleanup.hlsl roles)
+    # fast anyway (temporal_filter.hlsl + spatial_cleanup.hlsl roles).
+    # Contact regions (short rays) shorten history too: they move with
+    # parallax far faster than distant reflections.
     fetched = reproject_planes(
         {"h": state["rtr_history"], "l": state["rtr_hist_len"]}, reproj)
     hist = fetched["h"]
     hist_len = fetched["l"]
-    max_len = 4.0 + gb["roughness"] * 24.0
+    contact = jnp.clip(ray_len / (near_len := 0.2), 0.0, 1.0)
+    max_len = (4.0 + gb["roughness"] * 24.0) * (0.35 + 0.65 * contact)
+    del near_len
     hist_len = jnp.minimum(hist_len * reproj["validity"] + 1.0, max_len)
     alpha = (1.0 / hist_len)[..., None]
     out = hist * (1 - alpha) + full * alpha
@@ -142,5 +369,6 @@ def rtr_pipeline(ts, gb, view, frame_idx, state, reproj, sky_env, diffuse_env,
         "rtr_history": out,
         "rtr_hist_len": hist_len,
         "rtr_ray_len": ray_len,
+        **res_state,
     }
     return out, new_state

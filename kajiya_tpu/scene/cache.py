@@ -18,11 +18,15 @@ from .mesh import Material, PackedMesh
 
 CACHE_DIR = os.environ.get("KAJIYA_TPU_CACHE", "cache")
 
+# bump when the baked layout/semantics change (v2: generated tangents)
+CACHE_VERSION = 2
+
 
 def _key(path: str) -> str:
     st = os.stat(path)
-    h = hashlib.sha256(f"{os.path.abspath(path)}:{st.st_mtime_ns}:{st.st_size}"
-                       .encode()).hexdigest()[:16]
+    h = hashlib.sha256(
+        f"{os.path.abspath(path)}:{st.st_mtime_ns}:{st.st_size}"
+        f":v{CACHE_VERSION}".encode()).hexdigest()[:16]
     return h
 
 
@@ -44,11 +48,13 @@ def save_packed(mesh: PackedMesh, out: str):
              indices=mesh.indices,
              material_ids=mesh.material_ids, materials=mat,
              mat_tex=mat_tex,
-             image_paths=np.asarray(mesh.image_paths, dtype=object))
+             # fixed-dtype unicode, NOT object: keeps the cache loadable
+             # with allow_pickle=False (tampered caches can't execute code)
+             image_paths=np.asarray(list(mesh.image_paths), dtype=np.str_))
 
 
 def load_packed(path: str) -> PackedMesh:
-    z = np.load(path, allow_pickle=True)
+    z = np.load(path, allow_pickle=False)
     tex = (z["mat_tex"] if "mat_tex" in z.files
            else np.full((len(z["materials"]), 4), -1, np.int32))
     mats = [Material(base_color=row[0:4], emissive=row[4:7],

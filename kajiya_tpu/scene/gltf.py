@@ -189,6 +189,46 @@ def load_gltf(path: str) -> GltfScene:
     return out
 
 
+def generate_tangents(pos: np.ndarray, nrm: np.ndarray, uv: np.ndarray,
+                      idx: np.ndarray) -> np.ndarray:
+    """Per-vertex (V, 4) tangents (xyz + handedness w) from positions/UVs.
+
+    Role of the reference's mikktspace pass (`kajiya-asset/src/mesh.rs:98-445`):
+    per-face tangent/bitangent from the UV parameterization, accumulated per
+    vertex, Gram-Schmidt orthonormalized against the vertex normal, with
+    w = sign of the (T, B, N) basis (Lengyel's method). Degenerate UVs fall
+    back to an arbitrary frame so normal mapping stays well-defined."""
+    v = len(pos)
+    t_acc = np.zeros((v, 3), np.float64)
+    b_acc = np.zeros((v, 3), np.float64)
+
+    p0, p1, p2 = pos[idx[:, 0]], pos[idx[:, 1]], pos[idx[:, 2]]
+    w0, w1, w2 = uv[idx[:, 0]], uv[idx[:, 1]], uv[idx[:, 2]]
+    e1, e2 = (p1 - p0).astype(np.float64), (p2 - p0).astype(np.float64)
+    d1, d2 = (w1 - w0).astype(np.float64), (w2 - w0).astype(np.float64)
+    det = d1[:, 0] * d2[:, 1] - d2[:, 0] * d1[:, 1]
+    ok = np.abs(det) > 1e-12
+    r = np.where(ok, 1.0 / np.where(ok, det, 1.0), 0.0)[:, None]
+    t_face = (e1 * d2[:, 1:2] - e2 * d1[:, 1:2]) * r
+    b_face = (e2 * d1[:, 0:1] - e1 * d2[:, 0:1]) * r
+    for c in range(3):
+        np.add.at(t_acc, idx[:, c], t_face)
+        np.add.at(b_acc, idx[:, c], b_face)
+
+    n = nrm.astype(np.float64)
+    # Gram-Schmidt: t orthogonal to n
+    t = t_acc - n * (t_acc * n).sum(-1, keepdims=True)
+    t_len = np.linalg.norm(t, axis=-1, keepdims=True)
+    # fallback frame for vertices with no valid UV gradient
+    alt = np.cross(n, np.where(np.abs(n[:, 1:2]) < 0.9,
+                               np.array([0.0, 1.0, 0.0]),
+                               np.array([1.0, 0.0, 0.0])))
+    alt /= np.maximum(np.linalg.norm(alt, axis=-1, keepdims=True), 1e-12)
+    t = np.where(t_len > 1e-8, t / np.maximum(t_len, 1e-12), alt)
+    w = np.where((np.cross(n, t) * b_acc).sum(-1) < 0.0, -1.0, 1.0)
+    return np.concatenate([t, w[:, None]], -1).astype(np.float32)
+
+
 def _emit_mesh(doc, buffers, mesh, xform, out: GltfScene):
     flip_winding = np.linalg.det(xform[:3, :3]) < 0.0  # cf. mesh.rs winding flip
     normal_xform = np.linalg.inv(xform[:3, :3]).T
@@ -209,7 +249,7 @@ def _emit_mesh(doc, buffers, mesh, xform, out: GltfScene):
         nrm = np.where(nlen > 1e-8, nrm / np.maximum(nlen, 1e-8), np.array([0, 1, 0], np.float32))
 
         uv = _read_accessor(doc, buffers, attrs["TEXCOORD_0"]).astype(np.float32) if "TEXCOORD_0" in attrs else np.zeros((nverts, 2), np.float32)
-        tan = _read_accessor(doc, buffers, attrs["TANGENT"]).astype(np.float32) if "TANGENT" in attrs else np.concatenate([np.ones((nverts, 1), np.float32), np.zeros((nverts, 3), np.float32)], -1)
+        tan = _read_accessor(doc, buffers, attrs["TANGENT"]).astype(np.float32) if "TANGENT" in attrs else None
         col = _read_accessor(doc, buffers, attrs["COLOR_0"]).astype(np.float32) if "COLOR_0" in attrs else np.ones((nverts, 4), np.float32)
         if col.shape[1] == 3:
             col = np.concatenate([col, np.ones((nverts, 1), np.float32)], -1)
@@ -221,6 +261,13 @@ def _emit_mesh(doc, buffers, mesh, xform, out: GltfScene):
         idx = idx.reshape(-1, 3)
         if flip_winding:
             idx = idx[:, ::-1]
+
+        if tan is None:
+            # the reference generates mikktspace tangents when the asset has
+            # none (kajiya-asset/src/mesh.rs:98-445); we use the standard
+            # per-face UV-gradient accumulation (Lengyel), which agrees with
+            # mikktspace on welded meshes up to per-vertex orthonormalization
+            tan = generate_tangents(pos, nrm, uv, idx)
 
         out.primitives.append(GltfPrimitive(
             positions=pos, normals=nrm.astype(np.float32), uvs=uv, tangents=tan,

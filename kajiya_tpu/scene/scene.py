@@ -92,15 +92,16 @@ class GpuScene:
     sun_direction: Any    # (3,) f32 (normalized, towards the sun)
     sun_radiance: Any     # (3,) f32
     sun_angular_radius: Any  # () f32
-    tex_pages: Any = None    # tuple of per-mip (N, s, s, 4) arrays, or None
+    tex_pages: Any = None    # tuple of per-mip (N, s, s, 4) uint8 arrays, or None
     mat_tex: Any = None      # (M, 4) i32 page ids [base, mr, normal, emissive]
+    page_sub: Any = None     # (P, 4) i32 [page, size, ox, oy] subregion table
 
     _FIELDS = (
         "verts_obj", "normals_obj", "tangents_obj", "uvs", "vert_inst", "tri_idx", "tri_mat",
         "tri_inst", "xforms", "xforms_prev", "mat_base_color", "mat_emissive",
         "mat_metallic", "mat_roughness", "light_tri", "num_lights",
         "sun_direction", "sun_radiance", "sun_angular_radius",
-        "tex_pages", "mat_tex",
+        "tex_pages", "mat_tex", "page_sub",
     )
 
     def tree_flatten(self):
@@ -226,15 +227,18 @@ def _build_gpu_scene(scene: Scene, max_lights: int = 4096,
 
     tex_pages = None
     mat_tex = None
+    page_sub = None
     if with_textures and img_src:
         from .textures import build_texture_pages
 
-        tex_pages = tuple(build_texture_pages(img_src))
+        pages, page_sub = build_texture_pages(img_src)
+        tex_pages = tuple(pages)
         mat_tex = jnp.asarray(np.asarray(mat_tex_rows, np.int32))
 
     return GpuScene(
         tex_pages=tex_pages,
         mat_tex=mat_tex,
+        page_sub=page_sub,
         verts_obj=jnp.asarray(verts, jnp.float32),
         normals_obj=jnp.asarray(np.concatenate(normals), jnp.float32),
         tangents_obj=jnp.asarray(np.concatenate(tangents), jnp.float32),

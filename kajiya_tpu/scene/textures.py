@@ -5,29 +5,40 @@ Role of the reference's bindless texture system + BC-compressed GPU images
 have no texture units or BC decoders (SURVEY.md section 2.7 item 5), so the
 idiomatic equivalent is decode-at-bake into a fixed-size TEXTURE PAGE ARRAY:
 
-  pages[mip]: (N, S>>mip, S>>mip, 4) float32  (S = PAGE_SIZE)
+  pages[mip]: (N, S>>mip, S>>mip, 4) uint8   (S = PAGE_SIZE)
 
-Every image is resized to S x S at load (the fixed page size is what makes
-the shape static for XLA; the reference's bindless array is likewise bounded
-by `max_bindless_descriptor_count`). Sampling = manual bilinear gathers with
-an explicit mip parameter (ray-cone LOD lives in the caller).
+Images keep detail through SIZE BUCKETS (cf. the reference's native-res
+mips, `image.rs:252-277`): each image is resized to the nearest bucket
+(128 / 256 / 512) and shelf-packed into a 512^2 page as a subregion, with a
+per-slot (page, size, ox, oy) table. One gather stream serves all sizes —
+no per-bucket branching in the sampler.
+
+Storage is RAW uint8 (exactly the source precision, 4x less gather traffic
+than f32). Color-space handling is PER SLOT at fetch time: base color and
+emissive decode sRGB->linear after the fetch, normal/metallic-roughness
+maps are read linearly — mirroring the reference's TexGamma::{Srgb,Linear}
+split (`kajiya-asset/src/mesh.rs`). An image referenced both ways needs no
+duplicate page because decode happens at the consumer.
+
+Sampling = manual bilinear/nearest gathers with an explicit mip parameter
+(ray-cone LOD lives in the caller). Wrap addressing is exact per texel
+within the subregion.
 """
 from __future__ import annotations
 
 import base64
 import io
-import os
 
 import jax.numpy as jnp
 import numpy as np
 
-PAGE_SIZE = 256
-N_MIPS = 5          # 256 -> 16
+PAGE_SIZE = 512
+N_MIPS = 6          # 512 -> 16
+BUCKETS = (512, 256, 128)
 
 
 def _decode_image(path_or_data: str) -> np.ndarray:
-    """-> (H, W, 4) float32 in [0,1], sRGB decoded to linear for color maps
-    is the caller's choice; we return raw values."""
+    """-> (H, W, 4) uint8, raw values (no color-space conversion)."""
     from PIL import Image
 
     if path_or_data.startswith("data:"):
@@ -36,75 +47,139 @@ def _decode_image(path_or_data: str) -> np.ndarray:
     else:
         img = Image.open(path_or_data)
     img = img.convert("RGBA")
-    return np.asarray(img, np.float32) / 255.0
+    return np.asarray(img, np.uint8)
 
 
 def _resize(img: np.ndarray, size: int) -> np.ndarray:
     from PIL import Image
 
-    pil = Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8))
+    pil = Image.fromarray(img)
     pil = pil.resize((size, size), Image.LANCZOS)
-    return np.asarray(pil, np.float32) / 255.0
+    return np.asarray(pil, np.uint8)
+
+
+def _bucket_for(h: int, w: int) -> int:
+    m = max(h, w)
+    for b in BUCKETS[::-1]:
+        if m <= b:
+            return b
+    return BUCKETS[0]
 
 
 def build_texture_pages(image_sources, page_size: int = PAGE_SIZE,
-                        n_mips: int = N_MIPS, srgb: bool = True):
-    """Decode + resize + mip a list of image paths/data-URIs.
+                        n_mips: int = N_MIPS):
+    """Decode + bucket-resize + shelf-pack + mip a list of image
+    paths/data-URIs.
 
-    Returns list over mips of (N, s, s, 4) float32 jnp arrays (N >= 1; a
-    1-page white texture is always present at index 0 so material slot -1
-    can be redirected there). Mips use 2x2 box (Lanczos at base)."""
-    from ..core.color import srgb_decode
-
-    pages = [np.ones((1, page_size, page_size, 4), np.float32)]
+    Returns (pages, page_sub):
+      pages: list over mips of (N, s, s, 4) uint8 jnp arrays
+      page_sub: (P, 4) int32 [page, size, ox, oy] per image slot; slot 0 is
+        a full-page white texture (material slot -1 redirects there).
+    Mips are 2x2 box averages of the raw values."""
+    imgs = [np.full((page_size, page_size, 4), 255, np.uint8)]
     for src in image_sources:
         try:
             img = _decode_image(src)
         except Exception:
-            img = np.ones((4, 4, 4), np.float32)
-        img = _resize(img, page_size)
-        pages.append(img[None])
-    base = np.concatenate(pages, axis=0)
-    if srgb:
-        base[..., :3] = np.asarray(srgb_decode(jnp.asarray(base[..., :3])))
+            img = np.full((4, 4, 4), 255, np.uint8)
+        b = _bucket_for(*img.shape[:2])
+        imgs.append(_resize(img, b))
 
+    # shelf packing, largest first (stable order preserved via slot index)
+    order = sorted(range(len(imgs)), key=lambda i: -imgs[i].shape[0])
+    pages_data = []          # list of (page_size, page_size, 4) uint8
+    free = []                # list of (page, ox, oy, size) free squares
+    sub = [None] * len(imgs)
+
+    def alloc(size):
+        # find smallest free square that fits; quad-split the remainder
+        cand = [f for f in free if f[3] >= size]
+        if not cand:
+            pages_data.append(np.zeros((page_size, page_size, 4), np.uint8))
+            free.append((len(pages_data) - 1, 0, 0, page_size))
+            return alloc(size)
+        f = min(cand, key=lambda f: f[3])
+        free.remove(f)
+        page, ox, oy, fs = f
+        while fs > size:
+            half = fs // 2
+            free.append((page, ox + half, oy, half))
+            free.append((page, ox, oy + half, half))
+            free.append((page, ox + half, oy + half, half))
+            fs = half
+        return page, ox, oy, size
+
+    for i in order:
+        b = imgs[i].shape[0]
+        page, ox, oy, _ = alloc(b)
+        pages_data[page][oy:oy + b, ox:ox + b] = imgs[i]
+        sub[i] = (page, b, ox, oy)
+
+    base = np.stack(pages_data)
     mips = [base]
-    cur = base
+    cur = base.astype(np.float32)
     for _ in range(n_mips - 1):
         n, s, _, c = cur.shape
         cur = cur.reshape(n, s // 2, 2, s // 2, 2, c).mean(axis=(2, 4))
-        mips.append(cur)
-    return [jnp.asarray(m) for m in mips]
+        mips.append(np.round(cur).astype(np.uint8))
+    return ([jnp.asarray(m) for m in mips],
+            jnp.asarray(np.asarray(sub, np.int32)))
 
 
-def sample_pages(pages, page_idx, uv, mip=0, nearest: bool = False):
-    """Texture fetch. page_idx: (...,) int32 (0 = white), uv: (..., 2),
-    mip: static int. Returns (..., 4). `nearest=True` costs ONE gather
-    instead of four — used for non-color maps (MR/emissive/normal), where
-    TPU gather latency dominates and bilinear smoothing matters least."""
-    tex = pages[mip]                      # (N, s, s, 4)
+def _decode_fetch(texel_u8, srgb: bool):
+    """uint8 (..., 4) -> float32 [0,1], optionally sRGB->linear on rgb."""
+    x = texel_u8.astype(jnp.float32) * (1.0 / 255.0)
+    if not srgb:
+        return x
+    from ..core.color import srgb_decode
+
+    rgb = srgb_decode(x[..., :3])
+    return jnp.concatenate([rgb, x[..., 3:4]], axis=-1)
+
+
+def sample_pages(pages, page_sub, page_idx, uv, mip=0, nearest: bool = False,
+                 srgb: bool = False):
+    """Texture fetch. page_idx: (...,) int32 slot (0 = white), uv: (..., 2),
+    mip: static int. Returns (..., 4) float32. `nearest=True` costs ONE
+    gather instead of four — used for non-color maps (MR/emissive/normal),
+    where TPU gather latency dominates and bilinear smoothing matters least.
+    `srgb=True` decodes rgb to linear after the fetch (base color/emissive
+    slots; cf. TexGamma::Srgb in the reference's asset pipeline)."""
+    tex = pages[mip]                      # (N, s, s, 4) uint8
     n, s = tex.shape[0], tex.shape[1]
+    p = jnp.clip(page_idx, 0, page_sub.shape[0] - 1)
+    meta = page_sub[p]                    # (..., 4): page, size, ox, oy
+    page = jnp.clip(meta[..., 0], 0, n - 1)
+    size = meta[..., 1] >> mip            # subregion size at this mip
+    ox = meta[..., 2] >> mip
+    oy = meta[..., 3] >> mip
+    sizef = size.astype(jnp.float32)
+
     u = uv[..., 0] - jnp.floor(uv[..., 0])    # wrap addressing
     v = uv[..., 1] - jnp.floor(uv[..., 1])
-    p = jnp.clip(page_idx, 0, n - 1)
     if nearest:
-        xi = jnp.clip((u * s).astype(jnp.int32), 0, s - 1)
-        yi = jnp.clip((v * s).astype(jnp.int32), 0, s - 1)
-        return tex[p, yi, xi]
-    x = u * s - 0.5
-    y = v * s - 0.5
+        xi = jnp.clip((u * sizef).astype(jnp.int32), 0, size - 1) + ox
+        yi = jnp.clip((v * sizef).astype(jnp.int32), 0, size - 1) + oy
+        return _decode_fetch(tex[page, yi, xi], srgb)
+    x = u * sizef - 0.5
+    y = v * sizef - 0.5
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     fx = (x - x0)[..., None]
     fy = (y - y0)[..., None]
-    x0i = jnp.mod(x0.astype(jnp.int32), s)
-    x1i = jnp.mod(x0i + 1, s)
-    y0i = jnp.mod(y0.astype(jnp.int32), s)
-    y1i = jnp.mod(y0i + 1, s)
-    c00 = tex[p, y0i, x0i]
-    c10 = tex[p, y0i, x1i]
-    c01 = tex[p, y1i, x0i]
-    c11 = tex[p, y1i, x1i]
+    x0i = jnp.mod(x0.astype(jnp.int32), size)
+    x1i = jnp.mod(x0i + 1, size)
+    y0i = jnp.mod(y0.astype(jnp.int32), size)
+    y1i = jnp.mod(y0i + 1, size)
+    c00 = tex[page, y0i + oy, x0i + ox].astype(jnp.float32)
+    c10 = tex[page, y0i + oy, x1i + ox].astype(jnp.float32)
+    c01 = tex[page, y1i + oy, x0i + ox].astype(jnp.float32)
+    c11 = tex[page, y1i + oy, x1i + ox].astype(jnp.float32)
     top = c00 * (1 - fx) + c10 * fx
     bot = c01 * (1 - fx) + c11 * fx
-    return top * (1 - fy) + bot * fy
+    out = (top * (1 - fy) + bot * fy) * (1.0 / 255.0)
+    if srgb:
+        from ..core.color import srgb_decode
+
+        out = jnp.concatenate([srgb_decode(out[..., :3]), out[..., 3:4]], -1)
+    return out

@@ -232,11 +232,14 @@ def hit_attributes(ts: TraceScene, hit, ray_dir, mip: int = 0,
         from .scene.textures import sample_pages
 
         slots = gpu.mat_tex[mat]                      # (R, 4)
-        bc = sample_pages(gpu.tex_pages, slots[:, 0], uv, mip=mip)
-        mr = sample_pages(gpu.tex_pages, slots[:, 1], uv, mip=mip,
-                          nearest=True)
-        em = sample_pages(gpu.tex_pages, slots[:, 3], uv, mip=mip,
-                          nearest=True)
+        # per-slot color space (TexGamma::{Srgb,Linear} in kajiya-asset):
+        # base color + emissive are sRGB; MR + normal maps are linear data
+        bc = sample_pages(gpu.tex_pages, gpu.page_sub, slots[:, 0], uv,
+                          mip=mip, srgb=True)
+        mr = sample_pages(gpu.tex_pages, gpu.page_sub, slots[:, 1], uv,
+                          mip=mip, nearest=True)
+        em = sample_pages(gpu.tex_pages, gpu.page_sub, slots[:, 3], uv,
+                          mip=mip, nearest=True, srgb=True)
         base_color = base_color * bc[:, :3]
         roughness = jnp.clip(roughness * mr[:, 1], 1e-3, 1.0)
         metallic = jnp.clip(metallic * mr[:, 2], 0.0, 1.0)
@@ -244,8 +247,8 @@ def hit_attributes(ts: TraceScene, hit, ray_dir, mip: int = 0,
         # tangent-space normal mapping (the reference applies material
         # normal maps via the vertex TBN; lanes without a normal texture or
         # tangents keep the interpolated normal)
-        nm = sample_pages(gpu.tex_pages, slots[:, 2], uv, mip=mip,
-                          nearest=True)
+        nm = sample_pages(gpu.tex_pages, gpu.page_sub, slots[:, 2], uv,
+                          mip=mip, nearest=True)
         tnorm = nm[:, :3] * 2.0 - 1.0
         t_len = jnp.linalg.norm(tangent, axis=-1, keepdims=True)
         t_ok = (t_len[:, 0] > 1e-4) & (slots[:, 2] > 0)
