@@ -83,6 +83,29 @@ def pixel_uv(h: int, w: int):
     return jnp.stack(jnp.broadcast_arrays(u[None, :], v[:, None]), axis=-1)
 
 
+def warp_bilinear(img, uv):
+    """Bilinear sample for LOCAL warps (reprojection/temporal fetches,
+    bounded-radius taps): rides the Pallas two-hot matmul kernel on TPU
+    (ops/warp_pallas.py — XLA's serial gather path costs ~50 ms per 1080p
+    bilinear), plain gathers elsewhere. Callers must satisfy the kernel's
+    locality contract (intra-tile sample spread <= ~24 rows)."""
+    from ..ops import warp_pallas as wp
+
+    if wp.warp_supported(img, uv):
+        return wp.warp2d_pallas(img, uv, bilinear=True)
+    return sample_bilinear(img, uv)
+
+
+def warp_nearest(img, uv):
+    """Nearest-sample twin of `warp_bilinear` (exact values — safe for
+    packed reservoir planes)."""
+    from ..ops import warp_pallas as wp
+
+    if wp.warp_supported(img, uv):
+        return wp.warp2d_pallas(img, uv, bilinear=False)
+    return sample_nearest(img, uv)
+
+
 def downsample_2x(img):
     """2x2 box reduce (the `half_res` extraction family, half_res.rs:4-44)."""
     h, w = img.shape[0] // 2 * 2, img.shape[1] // 2 * 2

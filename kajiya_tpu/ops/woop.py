@@ -129,6 +129,7 @@ def intersect_brute(woop, org, d, t_min=1e-4, t_max=None, any_hit=False,
     rtot = org.shape[0]
     ttot3 = woop["a_d"].shape[0]
     ttot = ttot3 // 3
+    tri_block = min(tri_block, ttot)    # small scenes pad to 8, not 256
     nt = ttot // tri_block if ttot % tri_block == 0 else -1
     assert nt > 0, "pad triangle count to a multiple of tri_block"
 

@@ -29,9 +29,9 @@ RAY_BLOCK = 512
 
 
 def _kernel(o_ref, d_ref, ao_ref, ad_ref, tmax_ref, t_ref, tri_ref, u_ref,
-            v_ref, *, n_tri_blocks: int, t_min: float, any_hit: bool = False):
+            v_ref, *, n_tri_blocks: int, t_min: float, tb: int = TRI_BLOCK,
+            any_hit: bool = False):
     rb = o_ref.shape[1]
-    tb = TRI_BLOCK
 
     ox, oy, oz, ow = (o_ref[0:1, :], o_ref[1:2, :], o_ref[2:3, :],
                       o_ref[3:4, :])
@@ -128,8 +128,12 @@ def intersect_brute_pallas(woop, org, d, t_min=1e-4, t_max=None,
     """Pallas twin of `woop.intersect_brute`. Returns (t, tri, u, v)."""
     rtot = org.shape[0]
     ttot = woop["a_d"].shape[0] // 3
-    assert ttot % TRI_BLOCK == 0, "pad triangles to TRI_BLOCK"
-    nt = ttot // TRI_BLOCK
+    # adaptive triangle block: tiny scenes must not pay for a full 128-row
+    # block of dead padded triangles (the kernel is VPU-compute-bound in
+    # tris x rays — a 36-tri cornell box at tb=128 wastes 3.5x the work)
+    tb = min(TRI_BLOCK, ttot)
+    assert ttot % tb == 0, "pad triangles to a multiple of 8 (build_woop)"
+    nt = ttot // tb
 
     if t_max is None:
         t_max = jnp.full((rtot,), INF, jnp.float32)
@@ -147,16 +151,16 @@ def intersect_brute_pallas(woop, org, d, t_min=1e-4, t_max=None,
     d_t = d.T                                                     # (3, R)
     ao = woop["a_o"].reshape(3, ttot, 4)
     ad = woop["a_d"].reshape(3, ttot, 3)
-    ao_blk = (ao.reshape(3, nt, TRI_BLOCK, 4).transpose(1, 0, 2, 3)
-              .reshape(nt * 3 * TRI_BLOCK, 4))
-    ad_blk = (ad.reshape(3, nt, TRI_BLOCK, 3).transpose(1, 0, 2, 3)
-              .reshape(nt * 3 * TRI_BLOCK, 3))
+    ao_blk = (ao.reshape(3, nt, tb, 4).transpose(1, 0, 2, 3)
+              .reshape(nt * 3 * tb, 4))
+    ad_blk = (ad.reshape(3, nt, tb, 3).transpose(1, 0, 2, 3)
+              .reshape(nt * 3 * tb, 3))
     tmax2 = t_max.reshape(1, r)
 
     grid = (r // RAY_BLOCK,)
     out_shape = [jax.ShapeDtypeStruct((1, r), jnp.float32)] * 4
     kernel = functools.partial(_kernel, n_tri_blocks=nt, t_min=float(t_min),
-                               any_hit=any_hit)
+                               tb=tb, any_hit=any_hit)
     t, tri, u, v = pl.pallas_call(
         kernel,
         grid=grid,

@@ -36,7 +36,7 @@ def calculate_reprojection_map(gb, prev_depth, view: ViewConstants,
     vz_prev_expected = -(wv[2, 0] * pos[..., 0] + wv[2, 1] * pos[..., 1]
                          + wv[2, 2] * pos[..., 2] + wv[2, 3])
 
-    prev_d = im.sample_nearest(prev_depth, prev_uv)
+    prev_d = im.warp_nearest(prev_depth, prev_uv)
     vz_prev_stored = near / jnp.maximum(prev_d, 1e-12)
 
     ratio = vz_prev_stored / jnp.maximum(vz_prev_expected, 1e-6)
@@ -50,7 +50,7 @@ def calculate_reprojection_map(gb, prev_depth, view: ViewConstants,
 
 def reproject_image(history, reproj, fallback=None):
     """Bilinear-fetch history at prev_uv, falling back where invalid."""
-    fetched = im.sample_bilinear(history, reproj["prev_uv"])
+    fetched = im.warp_bilinear(history, reproj["prev_uv"])
     v = reproj["validity"]
     if history.ndim == 3:
         v = v[..., None]
@@ -73,7 +73,7 @@ def reproject_planes(planes: dict, reproj):
         parts.append(x)
         widths.append(x.shape[-1])
     packed = jnp.concatenate(parts, axis=-1)
-    fetched = im.sample_bilinear(packed, reproj["prev_uv"])
+    fetched = im.warp_bilinear(packed, reproj["prev_uv"])
     fetched = fetched * reproj["validity"][..., None]
     out = {}
     off = 0

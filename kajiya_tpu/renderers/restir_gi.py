@@ -127,7 +127,7 @@ def restir_diffuse(state, candidates, gb_h, reproj, frame_idx,
         prev["payload"]["t"][..., None], prev["w_sum"][..., None],
         prev["M"][..., None], prev["W"][..., None],
         prev["p_hat"][..., None]], axis=-1)
-    f = im.sample_nearest(packed_prev, prev_uv)
+    f = im.warp_nearest(packed_prev, prev_uv)
     prev_f = {
         "payload": {"radiance": f[..., 0:3], "dir": f[..., 3:6],
                     "t": f[..., 6]},
@@ -175,7 +175,9 @@ def restir_diffuse(state, candidates, gb_h, reproj, frame_idx,
             dx = jnp.round(jnp.cos(ang) * r).astype(jnp.int32)
             iy = jnp.clip(row + dy, 0, hh - 1)
             ix = jnp.clip(col + dx, 0, hw - 1)
-            nb, n_nb, vz_nb = unpack(packed[iy, ix])
+            tap_uv = jnp.stack([(ix.astype(jnp.float32) + 0.5) / hw,
+                                (iy.astype(jnp.float32) + 0.5) / hh], -1)
+            nb, n_nb, vz_nb = unpack(im.warp_nearest(packed, tap_uv))
             ok = _geo_weight(vz, vz_nb, n, n_nb) & candidates["valid"]
             p_hat_nb = _p_hat(nb["payload"]["radiance"], nb["payload"]["dir"], n)
             nb = rsv.clamp_m(nb, M_CLAMP_SPATIAL * M_CLAMP_TEMPORAL)

@@ -192,7 +192,7 @@ def restir_reflections(state, half, gb, reproj, frame_idx,
         prev["payload"]["t"][..., None], prev["w_sum"][..., None],
         prev["M"][..., None], prev["W"][..., None],
         prev["p_hat"][..., None]], axis=-1)
-    f = im.sample_nearest(packed_prev, reproj["prev_uv"][::2, ::2])
+    f = im.warp_nearest(packed_prev, reproj["prev_uv"][::2, ::2])
     prev_f = {
         "payload": {"radiance": f[..., 0:3], "dir": f[..., 3:6],
                     "t": f[..., 6]},

@@ -47,17 +47,17 @@ def taa(input_img, state, reproj, jitter_px, out_h: int, out_w: int):
     else:
         uv_out = im.pixel_uv(out_h, out_w)
         jitter_uv = jnp.stack([jitter_px[0] / w, jitter_px[1] / h])
-        input_up = im.sample_bilinear(input_img, uv_out - jitter_uv)
-        m1_up = im.sample_bilinear(m1, uv_out - jitter_uv)
-        var_up = jnp.maximum(im.sample_bilinear(var, uv_out - jitter_uv), 0.0)
-        prev_uv = im.sample_bilinear(reproj["prev_uv"], uv_out)
-        validity = im.sample_bilinear(reproj["validity"], uv_out)
+        input_up = im.warp_bilinear(input_img, uv_out - jitter_uv)
+        m1_up = im.warp_bilinear(m1, uv_out - jitter_uv)
+        var_up = jnp.maximum(im.warp_bilinear(var, uv_out - jitter_uv), 0.0)
+        prev_uv = im.warp_bilinear(reproj["prev_uv"], uv_out)
+        validity = im.warp_bilinear(reproj["validity"], uv_out)
 
     # --- reproject history through the velocity of the closest surface
     # (history + validity packed: one wide gather)
     packed = jnp.concatenate([state["taa_history"],
                               state["taa_valid"][..., None]], axis=-1)
-    fetched = im.sample_bilinear(packed, prev_uv)
+    fetched = im.warp_bilinear(packed, prev_uv)
     history = fetched[..., :3]
     hist_valid = fetched[..., 3] * validity
     sigma = jnp.sqrt(var_up)

@@ -149,7 +149,12 @@ def refresh_trace_scene(gpu: GpuScene, bvh: Bvh, levels,
     if use_brute:
         from .ops.woop import build_clusters
 
-        pad = -(-gpu.num_triangles // TRI_BLOCK) * TRI_BLOCK
+        # small scenes pad to 8 (VPU sublane) instead of a full matmul
+        # block: the Pallas kernel is compute-bound in padded tris x rays
+        if gpu.num_triangles <= TRI_BLOCK:
+            pad = max(8, -(-gpu.num_triangles // 8) * 8)
+        else:
+            pad = -(-gpu.num_triangles // TRI_BLOCK) * TRI_BLOCK
         woop = build_woop(v0, e1, e2, pad_to=pad)
         if gpu.num_triangles > BRUTE_FORCE_MAX_TRIS:
             cmin, cmax = build_clusters(v0, e1, e2, pad_to=pad)
