@@ -41,7 +41,7 @@ def specular_brdf(f0, roughness, n, wo, wi):
     a = jnp.maximum(roughness, MIN_ROUGHNESS) ** 2
     a2 = a * a
     h = wo + wi
-    h = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-12)
+    h = h * (1.0 / jnp.maximum(jnp.sqrt(jnp.maximum(_dot(h, h), 1e-24)), 1e-12))[..., None]
     ndoth = jnp.clip(_dot(n, h), 0.0, 1.0)
     ndotv = jnp.clip(_dot(n, wo), 1e-5, 1.0)
     ndotl = jnp.clip(_dot(n, wi), 0.0, 1.0)
@@ -73,7 +73,7 @@ def sample_vndf(roughness, n, wo, u1, u2):
     # wo in local space
     vo = jnp.stack([_dot(wo, t), _dot(wo, b), _dot(wo, n)], axis=-1)
     vh = jnp.stack([a * vo[..., 0], a * vo[..., 1], vo[..., 2]], axis=-1)
-    vh = vh / jnp.maximum(jnp.linalg.norm(vh, axis=-1, keepdims=True), 1e-12)
+    vh = vh * (1.0 / jnp.maximum(jnp.sqrt(jnp.maximum(_dot(vh, vh), 1e-24)), 1e-12))[..., None]
     # orthonormal frame around vh
     lensq = vh[..., 0] ** 2 + vh[..., 1] ** 2
     inv = 1.0 / jnp.sqrt(jnp.maximum(lensq, 1e-12))
@@ -94,7 +94,7 @@ def sample_vndf(roughness, n, wo, u1, u2):
     # unstretch
     h_local = jnp.stack(
         [a * nh[..., 0], a * nh[..., 1], jnp.maximum(nh[..., 2], 1e-6)], axis=-1)
-    h_local = h_local / jnp.maximum(jnp.linalg.norm(h_local, axis=-1, keepdims=True), 1e-12)
+    h_local = h_local * (1.0 / jnp.maximum(jnp.sqrt(jnp.maximum(_dot(h_local, h_local), 1e-24)), 1e-12))[..., None]
     h_world = t * h_local[..., 0:1] + b * h_local[..., 1:2] + n * h_local[..., 2:3]
     wi = 2.0 * _dot(wo, h_world)[..., None] * h_world - wo
     return wi
@@ -108,7 +108,7 @@ def pdf_vndf(roughness, n, wo, wi):
     a = jnp.maximum(roughness, MIN_ROUGHNESS) ** 2
     a2 = a * a
     h = wi + wo
-    h = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-12)
+    h = h * (1.0 / jnp.maximum(jnp.sqrt(jnp.maximum(_dot(h, h), 1e-24)), 1e-12))[..., None]
     ndotv = jnp.maximum(_dot(n, wo), 1e-6)
     ndoth = jnp.clip(_dot(n, h), 0.0, 1.0)
     d = ndf_ggx(a2, ndoth)
@@ -304,7 +304,7 @@ def sample_layered(base_color, metallic, roughness, n, wo, u_lobe, u1, u2):
     wi_diff = to_world(n, cosine_hemisphere(u1, u2))
     take_spec = (u_lobe < p_spec)[..., None]
     wi = jnp.where(take_spec, wi_spec, wi_diff)
-    wi = wi / jnp.maximum(jnp.linalg.norm(wi, axis=-1, keepdims=True), 1e-12)
+    wi = wi * (1.0 / jnp.maximum(jnp.sqrt(jnp.maximum(_dot(wi, wi), 1e-24)), 1e-12))[..., None]
     pdf = pdf_layered(base_color, metallic, roughness, n, wo, wi)
     val = eval_layered(base_color, metallic, roughness, n, wo, wi)
     ok = _dot(n, wi) > 1e-5

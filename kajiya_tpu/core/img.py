@@ -122,19 +122,50 @@ def downsample_min(img):
     return img[:h, :w].reshape(h // 2, 2, w // 2, 2).min(axis=(1, 3))
 
 
+def decimate2(img):
+    """img[::2, ::2] via reshape + unit slice: XLA lowers a stride-2 slice
+    to its serial gather path on TPU (~4-8 ms at 1080p); the reshaped view
+    makes it a contiguous slice + copy instead."""
+    h, w = img.shape[0] // 2 * 2, img.shape[1] // 2 * 2
+    x = img[:h, :w]
+    x = x.reshape((h // 2, 2, w // 2, 2) + img.shape[2:])
+    return x[:, 0, :, 0]
+
+
 def downsample_nearest(img):
     """Take top-left texel of each 2x2 quad (matches half-res depth extract)."""
-    return img[::2, ::2]
+    return decimate2(img)
 
 
 def upsample_bilinear(img, out_h: int, out_w: int):
-    """Bilinear resize. Exact 2x goes through the gather-free phase weave;
-    other factors sample through the plain-gather path (jax.image.resize
-    lowers to tiny-channel convolutions, which are pathological on this TPU
-    stack — see ops/smallvec.py)."""
-    if out_h == img.shape[0] * 2 and out_w == img.shape[1] * 2:
+    """Bilinear resize as SEPARABLE MATMULS: out_c = Wy @ img_c @ Wx^T with
+    hat-function weight matrices built from iota (no embedded constants).
+    Uniform resampling needs no gathers at all — the weight matrices are
+    dense but tiny, and the MXU eats them. Exact 2x keeps the cheaper
+    phase-weave path."""
+    h, w = img.shape[0], img.shape[1]
+    if out_h == h * 2 and out_w == w * 2:
         return upsample2x_bilinear(img)
-    return sample_bilinear(img, pixel_uv(out_h, out_w))
+
+    def weights(n_out, n_in):
+        # row r samples input coordinate (r+0.5)*n_in/n_out - 0.5, clamped
+        pos = ((jnp.arange(n_out, dtype=jnp.float32) + 0.5) * (n_in / n_out)
+               - 0.5)
+        pos = jnp.clip(pos, 0.0, n_in - 1.0)
+        cols = jnp.arange(n_in, dtype=jnp.float32)
+        return jnp.maximum(0.0, 1.0 - jnp.abs(cols[None, :] - pos[:, None]))
+
+    wy = weights(out_h, h)                  # (H2, H)
+    wx = weights(out_w, w)                  # (W2, W)
+    squeeze = img.ndim == 2
+    x = img[..., None] if squeeze else img
+    c = x.shape[-1]
+    planes = []
+    for ch in range(c):
+        t = jnp.dot(wy, x[..., ch], preferred_element_type=jnp.float32)
+        planes.append(jnp.dot(t, wx.T, preferred_element_type=jnp.float32))
+    out = jnp.stack(planes, axis=-1)
+    return out[..., 0] if squeeze else out
 
 
 def shift2d(img, dy: int, dx: int):

@@ -24,6 +24,7 @@ from dataclasses import dataclass, replace
 import jax
 import jax.numpy as jnp
 
+from .core import img as im
 from .core import rng as rng_mod
 from .core.camera import ViewConstants
 from .renderers import deferred, gbuffer, ircache, post, reprojection, rtdgi, rtr, shadows, ssgi, taa
@@ -176,8 +177,15 @@ def render_frame(ts, state, view: ViewConstants, cfg: RenderConfig,
         sy = 4
         while (h // sy) * (w // sy) > 32768:
             sy *= 2
-        q_pos = gb["pos"][::sy, ::sy].reshape(-1, 3)
-        q_mask = gb["hit"][::sy, ::sy].reshape(-1)
+        q_pos = gb["pos"]
+        q_mask = gb["hit"]
+        _s = sy
+        while _s > 1:                      # stride via contiguous halving
+            q_pos = im.decimate2(q_pos)
+            q_mask = im.decimate2(q_mask)
+            _s //= 2
+        q_pos = q_pos.reshape(-1, 3)
+        q_mask = q_mask.reshape(-1)
         grid0 = ircache.build_grid(ir_state, eye, cfg.ircache)
         ir_state = ircache.allocate(ir_state, grid0, q_pos, q_mask, eye,
                                     frame_idx, cfg.ircache)
@@ -254,11 +262,9 @@ def render_frame(ts, state, view: ViewConstants, cfg: RenderConfig,
 
     # --- deferred combine (light_gbuffer). The background sky is smooth:
     # evaluate at quarter res and upsample (4x fewer atmosphere marches)
-    from .core import img as im
-
     if h % 4 == 0 and w % 4 == 0:
         sky_q = sky_env_mod.sample_env(
-            sky_env_bg, gb["ray_dir"][::4, ::4].reshape(-1, 3)
+            sky_env_bg, im.decimate2(im.decimate2(gb["ray_dir"])).reshape(-1, 3)
         ).reshape(h // 4, w // 4, 3)
         sky_bg = im.upsample2x_bilinear(im.upsample2x_bilinear(sky_q))
     else:

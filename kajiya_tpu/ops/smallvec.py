@@ -29,6 +29,19 @@ def dot3(a, b):
             + a[..., 2] * b[..., 2])
 
 
+def norm3(a):
+    """|a| over a trailing 3-axis without a minor-dim reduce (XLA's reduce
+    over a 3-wide minor runs at ~3 ns/elem — gather-class cost; explicit
+    lane slices + adds are bandwidth-bound)."""
+    return jnp.sqrt(jnp.maximum(dot3(a, a), 1e-24))
+
+
+def normalize3(a, eps: float = 1e-8):
+    """a / max(|a|, eps) for (..., 3), reduce-free."""
+    inv = 1.0 / jnp.maximum(norm3(a), eps)
+    return a * inv[..., None]
+
+
 def weighted_sum(x, w):
     """sum_k x[..., k] * w[k] for a small constant/shared vector w.
     The safe form of `einsum("...k,k->...", x, w)`."""

@@ -68,7 +68,7 @@ def hit_radiance(ts, hit, ray_dir, sky_env, diffuse_env,
         from .lights import sample_triangle_light
 
         ls, rng = sample_triangle_light(ts, pos, rng)
-        cos_g = jnp.sum(n * ls["wi"], axis=-1)
+        cos_g = dot3(n, ls["wi"])
         possible = m & ls["valid"] & (cos_g > 0.0)
         occ_l = scene_trace_shadow(
             ts, pos + attrs["geo_normal"] * RAY_EPS * 8, ls["wi"],
@@ -91,12 +91,16 @@ def hit_radiance(ts, hit, ray_dir, sky_env, diffuse_env,
     # --- screen-space reuse of last frame's lit image
     if prev_lit is not None and view is not None and prev_depth is not None:
         uv, inb = _project_to_uv(view.world_to_clip_prev, pos)
-        reused = im.sample_bilinear(prev_lit, uv)
+        # lit+depth packed -> ONE gather (the pack is CSE'd across the
+        # frame's hit_radiance calls); hit points project anywhere on
+        # screen, so this stays on the XLA gather path (non-local)
+        packed = jnp.concatenate([prev_lit, prev_depth[..., None]], axis=-1)
+        fetched = im.sample_nearest(packed, uv)
+        reused, pd = fetched[:, :3], fetched[:, 3]
         # depth check: is the stored surface the one we hit?
         wv = view.world_to_view_prev
         vz_expected = -(wv[2, 0] * pos[..., 0] + wv[2, 1] * pos[..., 1]
                         + wv[2, 2] * pos[..., 2] + wv[2, 3])
-        pd = im.sample_nearest(prev_depth, uv)
         vz_stored = near / jnp.maximum(pd, 1e-12)
         same = jnp.abs(vz_stored / jnp.maximum(vz_expected, 1e-6) - 1.0) < 0.05
         use = (inb & same & m & (pd > 0))[:, None]

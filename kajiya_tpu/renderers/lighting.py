@@ -25,14 +25,14 @@ def sample_lights_specular(ts, gb, frame_idx, max_trace_steps=None):
     """Half-res explicit specular from emissive triangles -> (hh, hw, 3).
     Returns zeros when the scene has no lights (cheap static path would need
     a host check; lanes are masked anyway)."""
-    pos = gb["pos"][::2, ::2]
-    n = gb["normal"][::2, ::2]
-    gn = gb["geo_normal"][::2, ::2]
-    rough = gb["roughness"][::2, ::2]
-    metal = gb["metallic"][::2, ::2]
-    albedo = gb["albedo"][::2, ::2]
-    hitm = gb["hit"][::2, ::2]
-    rd = gb["ray_dir"][::2, ::2]
+    pos = im.decimate2(gb["pos"])
+    n = im.decimate2(gb["normal"])
+    gn = im.decimate2(gb["geo_normal"])
+    rough = im.decimate2(gb["roughness"])
+    metal = im.decimate2(gb["metallic"])
+    albedo = im.decimate2(gb["albedo"])
+    hitm = im.decimate2(gb["hit"])
+    rd = im.decimate2(gb["ray_dir"])
     hh, hw = hitm.shape
 
     posf = pos.reshape(-1, 3)

@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ..ops import smallvec as smv
+
 from ..brdf.sampling import uniform_triangle
 from ..core import rng as rng_mod
 
@@ -25,16 +27,15 @@ def sample_triangle_light(ts, pos, rng):
     u2, rng = rng_mod.rand_u01(rng)
     b1, b2 = uniform_triangle(u1, u2)
     lp = ts.light_v0[li] + ts.light_e1[li] * b1[:, None] + ts.light_e2[li] * b2[:, None]
-    l_n = jnp.cross(ts.light_e1[li], ts.light_e2[li])
-    l_n = l_n / jnp.maximum(jnp.linalg.norm(l_n, axis=-1, keepdims=True), 1e-12)
+    l_n = ts.light_normal[li]        # precomputed in refresh_trace_scene
     emission = ts.light_emission[li]
     area = ts.light_area[li]
 
     to_l = lp - pos
-    dist2 = jnp.sum(to_l * to_l, axis=-1)
+    dist2 = smv.dot3(to_l, to_l)
     dist = jnp.sqrt(jnp.maximum(dist2, 1e-12))
     wi = to_l / dist[:, None]
-    cos_l = jnp.abs(jnp.sum(l_n * wi, axis=-1))   # double-sided emitters
+    cos_l = jnp.abs(smv.dot3(l_n, wi))   # double-sided emitters
     pdf_sa = dist2 / jnp.maximum(cos_l * area * n_lights.astype(jnp.float32), 1e-9)
     valid = (ts.gpu.num_lights > 0) & (area > 0.0) & (cos_l > 1e-6)
     return dict(wi=wi, dist=dist, pdf_sa=pdf_sa, emission=emission,
@@ -49,9 +50,8 @@ def light_pdf_for_hit(ts, hit, wi):
     is_light = jnp.any(matches, axis=-1)
     area = jnp.sum(jnp.where(matches, ts.light_area[None, :], 0.0), axis=-1)
     tri = jnp.maximum(hit.tri, 0)
-    l_n = jnp.cross(ts.e1[tri], ts.e2[tri])
-    l_n = l_n / jnp.maximum(jnp.linalg.norm(l_n, axis=-1, keepdims=True), 1e-12)
-    cos_l = jnp.abs(jnp.sum(l_n * wi, axis=-1))
+    l_n = smv.normalize3(jnp.cross(ts.e1[tri], ts.e2[tri]), eps=1e-12)
+    cos_l = jnp.abs(smv.dot3(l_n, wi))
     dist2 = hit.t * hit.t
     pdf = dist2 / jnp.maximum(cos_l * area * n_lights, 1e-9)
     return jnp.where(is_light & (area > 0), pdf, 0.0)

@@ -53,20 +53,30 @@ def motion_blur(color, velocity, depth, frame_fraction: float = 0.5):
     tiles = _dilate_max(tiles)
     tile_vel = im.upsample_bilinear(tiles, h, w) * frame_fraction
 
-    uv = im.pixel_uv(h, w)
-    # color+depth packed -> one nearest gather per tap (TPU gathers are
-    # latency-bound per element; nearest taps halve the element count and
-    # the jittered tap positions hide the lost bilinear smoothing)
-    packed = jnp.concatenate([color, depth[..., None]], axis=-1)
-    acc = jnp.zeros_like(color)
-    wsum = jnp.zeros((h, w, 1), jnp.float32)
+    # Gather taps run at HALF RES through the Pallas warp kernel (blur is
+    # low-frequency; full-res XLA gathers cost ~9 ms per tap) and composite
+    # back by blur amount, so unblurred regions keep full resolution.
+    # Velocities are clamped to the warp kernel's locality contract.
+    hh, hw = h // 2, w // 2
+    color_h = im.downsample_2x(color)
+    depth_h = im.downsample_nearest(depth)
+    max_uv = jnp.asarray([48.0 / hw, 20.0 / hh])
+    vel_h = jnp.clip(im.decimate2(tile_vel), -max_uv, max_uv)
+    uv_h = im.pixel_uv(hh, hw)
+    packed = jnp.concatenate([color_h, depth_h[..., None]], axis=-1)
+    acc = jnp.zeros_like(color_h)
+    wsum = jnp.zeros((hh, hw, 1), jnp.float32)
     for i in range(N_TAPS):
         t = (i + 0.5) / N_TAPS - 0.5
-        suv = uv + tile_vel * t
-        f = im.sample_nearest(packed, suv)
+        suv = uv_h + vel_h * t
+        f = im.warp_nearest(packed, suv)
         c, d = f[..., :3], f[..., 3]
         # depth-aware: don't smear foreground over background
-        wgt = jnp.where(d[..., None] >= depth[..., None] * 0.95, 1.0, 0.25)
+        wgt = jnp.where(d[..., None] >= depth_h[..., None] * 0.95, 1.0, 0.25)
         acc = acc + c * wgt
         wsum = wsum + wgt
-    return acc / jnp.maximum(wsum, 1e-6)
+    blur_h = acc / jnp.maximum(wsum, 1e-6)
+    blur = im.upsample_bilinear(blur_h, h, w)
+    amount = jnp.clip(jnp.linalg.norm(tile_vel * jnp.asarray(
+        [float(w), float(h)]), axis=-1) / 2.0, 0.0, 1.0)[..., None]
+    return color * (1.0 - amount) + blur * amount

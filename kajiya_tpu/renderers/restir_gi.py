@@ -119,8 +119,8 @@ def restir_diffuse(state, candidates, gb_h, reproj, frame_idx,
     import jax
 
     prev = _pack(state)
-    prev_uv = reproj["prev_uv"][::2, ::2]
-    validity = reproj["validity"][::2, ::2]
+    prev_uv = im.decimate2(reproj["prev_uv"])
+    validity = im.decimate2(reproj["validity"])
 
     packed_prev = jnp.concatenate([
         prev["payload"]["radiance"], prev["payload"]["dir"],
@@ -193,9 +193,9 @@ def resolve(reservoir, gb, near: float = 0.01):
     joint-bilateral footprint built gather-free (phase weave); each
     reservoir contributes its unbiased estimator L * cos(n_full, dir) * W."""
     vz = near / jnp.maximum(gb["depth"], 1e-12)
-    vz_h = near / jnp.maximum(gb["depth"][::2, ::2], 1e-12)
+    vz_h = near / jnp.maximum(im.decimate2(gb["depth"]), 1e-12)
     n_full = gb["normal"]
-    n_h = gb["normal"][::2, ::2]
+    n_h = im.decimate2(gb["normal"])
 
     rad_t, weights = im.half_to_full_taps(reservoir["payload"]["radiance"])
     dir_t, _ = im.half_to_full_taps(reservoir["payload"]["dir"])

@@ -34,11 +34,11 @@ def init_state(h: int, w: int):
 
 def _half(gb):
     return {
-        "pos": gb["pos"][::2, ::2],
-        "normal": gb["normal"][::2, ::2],
-        "geo_normal": gb["geo_normal"][::2, ::2],
-        "hit": gb["hit"][::2, ::2],
-        "depth": gb["depth"][::2, ::2],
+        "pos": im.decimate2(gb["pos"]),
+        "normal": im.decimate2(gb["normal"]),
+        "geo_normal": im.decimate2(gb["geo_normal"]),
+        "hit": im.decimate2(gb["hit"]),
+        "depth": im.decimate2(gb["depth"]),
     }
 
 
@@ -81,9 +81,9 @@ def _edge_aware_upsample(half_img, gb, near: float = 0.01):
     role): joint-bilateral over the 4-tap footprint, built GATHER-FREE from
     phase-interleaved static shifts (core/img.py::half_to_full_taps)."""
     vz = near / jnp.maximum(gb["depth"], 1e-12)
-    vz_h = near / jnp.maximum(gb["depth"][::2, ::2], 1e-12)
+    vz_h = near / jnp.maximum(im.decimate2(gb["depth"]), 1e-12)
     n_full = gb["normal"]
-    n_h = gb["normal"][::2, ::2]
+    n_h = im.decimate2(gb["normal"])
 
     v_taps, weights = im.half_to_full_taps(half_img)
     z_taps, _ = im.half_to_full_taps(vz_h)
@@ -116,7 +116,7 @@ def rtdgi_pipeline(ts, gb, view, frame_idx, state, reproj, sky_env,
 
         res, new_restir_state = restir_gi.restir_diffuse(
             restir_state, candidates, gb_h, reproj, frame_idx,
-            ssao_h=None if ssao is None else ssao[::2, ::2])
+            ssao_h=None if ssao is None else im.decimate2(ssao))
         full = restir_gi.resolve(res, gb)
     else:
         new_restir_state = restir_state

@@ -63,12 +63,12 @@ def trace_reflections(ts, gb, frame_idx, sky_env, diffuse_env,
                       ircache_lookup=None, max_trace_steps=None):
     """Half-res reflection trace (`reflection.rgen.hlsl`): one VNDF ray per
     half-res pixel. Returns dict(radiance, ray_t, wi, pdf, valid)."""
-    pos = gb["pos"][::2, ::2]
-    n = gb["normal"][::2, ::2]
-    gn = gb["geo_normal"][::2, ::2]
-    rough = gb["roughness"][::2, ::2]
-    hitm = gb["hit"][::2, ::2]
-    rd = gb["ray_dir"][::2, ::2]
+    pos = im.decimate2(gb["pos"])
+    n = im.decimate2(gb["normal"])
+    gn = im.decimate2(gb["geo_normal"])
+    rough = im.decimate2(gb["roughness"])
+    hitm = im.decimate2(gb["hit"])
+    rd = im.decimate2(gb["ray_dir"])
     hh, hw = hitm.shape
 
     px = jnp.arange(hh * hw, dtype=jnp.uint32)
@@ -142,9 +142,9 @@ def restir_reflections(state, half, gb, reproj, frame_idx,
     with the current lobe — mirrors get no cross-lobe bleeding, rough pixels
     reuse freely."""
     hh, hw = half["valid"].shape
-    n = gb["normal"][::2, ::2].reshape(-1, 3)
-    wo = -gb["ray_dir"][::2, ::2].reshape(-1, 3)
-    rough_h = gb["roughness"][::2, ::2]
+    n = im.decimate2(gb["normal"]).reshape(-1, 3)
+    wo = -im.decimate2(gb["ray_dir"]).reshape(-1, 3)
+    rough_h = im.decimate2(gb["roughness"])
     rough = rough_h.reshape(-1)
 
     px = jnp.arange(hh * hw, dtype=jnp.uint32).reshape(hh, hw)
@@ -192,7 +192,7 @@ def restir_reflections(state, half, gb, reproj, frame_idx,
         prev["payload"]["t"][..., None], prev["w_sum"][..., None],
         prev["M"][..., None], prev["W"][..., None],
         prev["p_hat"][..., None]], axis=-1)
-    f = im.warp_nearest(packed_prev, reproj["prev_uv"][::2, ::2])
+    f = im.warp_nearest(packed_prev, im.decimate2(reproj["prev_uv"]))
     prev_f = {
         "payload": {"radiance": f[..., 0:3], "dir": f[..., 3:6],
                     "t": f[..., 6]},
@@ -204,7 +204,7 @@ def restir_reflections(state, half, gb, reproj, frame_idx,
     m_clamp = 1.0 + rough_h * 11.0
     prev_f = rsv.clamp_m(prev_f, m_clamp)
     p_hat_t = p_hat_of(prev_f["payload"]["radiance"], prev_f["payload"]["dir"])
-    validity = reproj["validity"][::2, ::2]
+    validity = im.decimate2(reproj["validity"])
     u, rng = rng_mod.rand_u01(rng)
     cur = rsv.merge(cur, prev_f, p_hat_t, u,
                     mask=(validity > 0.5) & half["valid"])
@@ -231,10 +231,10 @@ def validate_reservoirs(ts, state, gb, sky_env, diffuse_env, frame_idx,
     reflections (moved lights/objects) die within one validation period."""
     hh, hw = state["rtr_res_t"].shape
     # quarter-res subset: every 2nd reservoir in each dimension
-    pos_q = gb["pos"][::4, ::4]
-    gn_q = gb["geo_normal"][::4, ::4]
-    dir_q = state["rtr_res_dir"][::2, ::2]
-    rad_q = state["rtr_res_radiance"][::2, ::2]
+    pos_q = im.decimate2(im.decimate2(gb["pos"]))
+    gn_q = im.decimate2(im.decimate2(gb["geo_normal"]))
+    dir_q = im.decimate2(state["rtr_res_dir"])
+    rad_q = im.decimate2(state["rtr_res_radiance"])
     qh, qw = dir_q.shape[:2]
 
     d = dir_q.reshape(-1, 3)
@@ -275,9 +275,9 @@ def _resolve_full(spec_h, ray_len_h, gb, near: float = 0.01):
     neighborhood's tighten the kernel (short rays = sharp contact
     reflections; the reference drives this off its ray-len texture)."""
     vz = near / jnp.maximum(gb["depth"], 1e-12)
-    vz_h = near / jnp.maximum(gb["depth"][::2, ::2], 1e-12)
+    vz_h = near / jnp.maximum(im.decimate2(gb["depth"]), 1e-12)
     n_full = gb["normal"]
-    n_h = gb["normal"][::2, ::2]
+    n_h = im.decimate2(gb["normal"])
 
     v_taps, weights = im.half_to_full_taps(spec_h)
     t_taps, _ = im.half_to_full_taps(ray_len_h)

@@ -20,6 +20,7 @@ from .reprojection import reproject_image
 
 _N_DIRS = 4
 _N_STEPS = 4
+_N_ROT = 4          # quantized kernel rotations (see ssao_half)
 _RADIUS_PX = 24.0
 
 
@@ -28,8 +29,8 @@ def ssao_half(gb, view: ViewConstants, frame_idx, near: float = 0.01):
     h, w = gb["depth"].shape
     hh, hw = h // 2, w // 2
     depth_h = im.downsample_nearest(gb["depth"])
-    normal_h = gb["normal"][::2, ::2]
-    hit_h = gb["hit"][::2, ::2]
+    normal_h = im.decimate2(gb["normal"])
+    hit_h = im.decimate2(gb["hit"])
     vz = near / jnp.maximum(depth_h, 1e-12)
 
     uv = im.pixel_uv(hh, hw)
@@ -43,21 +44,38 @@ def ssao_half(gb, view: ViewConstants, frame_idx, near: float = 0.01):
     vpos = vdir * vz[..., None]
     vnorm = smv.transform_dirs(view.world_to_view, normal_h)
 
+    import math
+
     px = jnp.arange(hh * hw, dtype=jnp.uint32).reshape(hh, hw)
     rng = rng_mod.pixel_rng(px % jnp.uint32(hw), px // jnp.uint32(hw),
                             jnp.uint32(frame_idx), stream=11)
     u_rot, rng = rng_mod.rand_u01(rng)
+    # Quantized per-pixel kernel rotation: with Q discrete rotations every
+    # tap position becomes a STATIC pixel offset, so the depth fetch is a
+    # shift (free on TPU) instead of a gather (~4 ms each at half res —
+    # the XLA serial-gather path). Banding from Q=4 levels dissolves in the
+    # temporal filter; the reference rotates per-pixel continuously but its
+    # hardware gathers are free (`ssgi/ssgi.hlsl`).
+    rot_k = jnp.minimum((u_rot * _N_ROT).astype(jnp.int32), _N_ROT - 1)
 
     ao = jnp.zeros((hh, hw), jnp.float32)
-    radius_uv = _RADIUS_PX / jnp.float32(hw)
     for d in range(_N_DIRS):
-        ang = (d + u_rot) * (jnp.pi / _N_DIRS)
-        dir2 = jnp.stack([jnp.cos(ang), jnp.sin(ang)], axis=-1)
         max_horizon = jnp.zeros((hh, hw), jnp.float32)
         for s in range(1, _N_STEPS + 1):
-            r = radius_uv * (s / _N_STEPS) ** 1.5
-            suv = uv + dir2 * r[..., None] if dir2.ndim == 3 else uv + dir2 * r
-            s_vz = near / jnp.maximum(im.sample_nearest(depth_h, suv), 1e-12)
+            r_px = _RADIUS_PX * (s / _N_STEPS) ** 1.5
+            s_vz = jnp.zeros((hh, hw), jnp.float32)
+            du_sel = jnp.zeros((hh, hw), jnp.float32)
+            dv_sel = jnp.zeros((hh, hw), jnp.float32)
+            for k in range(_N_ROT):
+                ang = (d + (k + 0.5) / _N_ROT) * (math.pi / _N_DIRS)
+                dx = int(round(math.cos(ang) * r_px))
+                dy = int(round(math.sin(ang) * r_px))
+                d_tap = im.shift2d(depth_h, -dy, -dx)
+                sel = rot_k == k
+                s_vz = jnp.where(sel, near / jnp.maximum(d_tap, 1e-12), s_vz)
+                du_sel = jnp.where(sel, dx / hw, du_sel)
+                dv_sel = jnp.where(sel, dy / hh, dv_sel)
+            suv = uv + jnp.stack([du_sel, dv_sel], axis=-1)
             s_ndc = jnp.stack([suv[..., 0] * 2 - 1, 1 - suv[..., 1] * 2], -1)
             s_vdir = smv.matvec(c2v[:3, :2], s_ndc) + c2v[:3, 2] + c2v[:3, 3]
             s_vdir = s_vdir / jnp.maximum(-s_vdir[..., 2:3], 1e-8)

@@ -13,6 +13,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
+from .ops import smallvec as smv
 from .rt.bvh import Bvh, bvh_from_scene, refit_bvh
 from .scene.scene import GpuScene
 
@@ -44,13 +45,14 @@ class TraceScene:
     light_e2: Any
     light_area: Any     # (L,)
     light_emission: Any  # (L, 3)
+    light_normal: Any = None   # (L, 3) unit normals (precomputed)
     woop: Any = None    # dict from ops.woop.build_woop, or None (BVH path)
     tri_attrs: Any = None   # (T, 18) consolidated per-triangle attributes
     vert_attrs: Any = None  # (V, 9) normal(3) + uv(2) + tangent(4)
 
     _F = ("gpu", "bvh", "v0", "e1", "e2", "vnormals",
           "light_v0", "light_e1", "light_e2", "light_area", "light_emission",
-          "woop", "tri_attrs", "vert_attrs")
+          "light_normal", "woop", "tri_attrs", "vert_attrs")
 
     def tree_flatten(self):
         return tuple(getattr(self, f) for f in self._F), None
@@ -177,7 +179,10 @@ def refresh_trace_scene(gpu: GpuScene, bvh: Bvh, levels,
 
     lt = jnp.maximum(gpu.light_tri, 0)
     lv0, le1, le2 = v0[lt], e1[lt], e2[lt]
-    area = 0.5 * jnp.linalg.norm(jnp.cross(le1, le2), axis=-1)
+    l_cross = jnp.cross(le1, le2)
+    l_len = smv.norm3(l_cross)
+    area = 0.5 * l_len
+    l_normal = l_cross / jnp.maximum(l_len, 1e-12)[:, None]
     emission = gpu.mat_emissive[gpu.tri_mat[lt]]
     live = (gpu.light_tri >= 0)[:, None]
     return TraceScene(
@@ -185,6 +190,7 @@ def refresh_trace_scene(gpu: GpuScene, bvh: Bvh, levels,
         light_v0=lv0, light_e1=le1, light_e2=le2,
         light_area=jnp.where(live[:, 0], area, 0.0),
         light_emission=jnp.where(live, emission, 0.0),
+        light_normal=l_normal,
         woop=woop, tri_attrs=tri_attrs, vert_attrs=vert_attrs,
     )
 
@@ -216,18 +222,18 @@ def hit_attributes(ts: TraceScene, hit, ray_dir, mip: int = 0,
     w = 1.0 - hit.u - hit.v
     va = va0 * w[:, None] + va1 * hit.u[:, None] + va2 * hit.v[:, None]
     normal = va[:, 0:3]
-    normal = normal / jnp.maximum(jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-8)
+    normal = smv.normalize3(normal)
     uv = va[:, 3:5]
     tangent = va[:, 5:8]
     tan_w = va[:, 8]
 
     geo_n = jnp.cross(e1_t, e2_t)
-    geo_n = geo_n / jnp.maximum(jnp.linalg.norm(geo_n, axis=-1, keepdims=True), 1e-8)
+    geo_n = smv.normalize3(geo_n)
     # orient both normals against the incoming ray (double-sided materials)
-    flip = jnp.sign(-jnp.sum(geo_n * ray_dir, axis=-1))[:, None]
+    flip = jnp.sign(-smv.dot3(geo_n, ray_dir))[:, None]
     flip = jnp.where(flip == 0.0, 1.0, flip)
     geo_n = geo_n * flip
-    normal = jnp.where((jnp.sum(normal * geo_n, axis=-1) < 0.0)[:, None], -normal, normal)
+    normal = jnp.where((smv.dot3(normal, geo_n) < 0.0)[:, None], -normal, normal)
 
     pos = v0_t + e1_t * hit.u[:, None] + e2_t * hit.v[:, None]
 
@@ -255,14 +261,13 @@ def hit_attributes(ts: TraceScene, hit, ray_dir, mip: int = 0,
         nm = sample_pages(gpu.tex_pages, gpu.page_sub, slots[:, 2], uv,
                           mip=mip, nearest=True)
         tnorm = nm[:, :3] * 2.0 - 1.0
-        t_len = jnp.linalg.norm(tangent, axis=-1, keepdims=True)
+        t_len = smv.norm3(tangent)[..., None]
         t_ok = (t_len[:, 0] > 1e-4) & (slots[:, 2] > 0)
         t = tangent / jnp.maximum(t_len, 1e-8)
         b = jnp.cross(normal, t) * tan_w[:, None]
         n_mapped = (t * tnorm[:, 0:1] + b * tnorm[:, 1:2]
                     + normal * tnorm[:, 2:3])
-        n_mapped = n_mapped / jnp.maximum(
-            jnp.linalg.norm(n_mapped, axis=-1, keepdims=True), 1e-8)
+        n_mapped = smv.normalize3(n_mapped)
         if not no_normal_maps:      # RenderOverrides.no_normal_maps
             normal = jnp.where(t_ok[:, None], n_mapped, normal)
 
