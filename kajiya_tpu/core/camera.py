@@ -181,9 +181,15 @@ def uv_to_clip(uv):
     return jnp.stack([uv[..., 0] * 2.0 - 1.0, 1.0 - uv[..., 1] * 2.0], axis=-1)
 
 
-def camera_rays(view: ViewConstants, width: int, height: int):
-    """Primary ray origins/directions for every pixel. Returns (org, dir), each (H, W, 3)."""
+def camera_rays(view: ViewConstants, width: int, height: int,
+                jitter_px=None):
+    """Primary ray origins/directions for every pixel. Returns (org, dir),
+    each (H, W, 3). `jitter_px` ((H, W, 2), pixels) adds per-pixel sub-pixel
+    offsets on top of the TAA jitter (the path tracer's gaussian pixel
+    filter, `reference_path_trace.rgen.hlsl:20-150`)."""
     uv = pixel_centers_uv(width, height, view.sample_offset_pixels)
+    if jitter_px is not None:
+        uv = uv + jitter_px / jnp.asarray([float(width), float(height)])
     cs = uv_to_clip(uv)
     # A point on the near plane in clip space: (x, y, 1, 1) since reversed-Z near==1.
     ones = jnp.ones_like(cs[..., :1])

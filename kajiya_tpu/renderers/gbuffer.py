@@ -55,7 +55,8 @@ def raytrace_gbuffer(ts: TraceScene, view: ViewConstants, width: int, height: in
         hit = jax.tree_util.tree_map(
             lambda x: untile_order(x, height, width).reshape(-1), hit)
         df = d.reshape(-1, 3)
-    attrs = hit_attributes(ts, hit, df, no_normal_maps=no_normal_maps)
+    attrs = hit_attributes(ts, hit, df, no_normal_maps=no_normal_maps,
+                           with_prev_pos=True)
 
     m = hit.hit_mask
     pos = attrs["pos"]
@@ -65,20 +66,10 @@ def raytrace_gbuffer(ts: TraceScene, view: ViewConstants, width: int, height: in
     near = view.view_to_clip[2, 3]
     depth = jnp.where(m, near / jnp.maximum(-vpos[..., 2], 1e-8), 0.0)
 
-    # velocity: reproject the same surface point under the PREVIOUS instance
-    # transform and previous camera (raster_simple_vs.hlsl behavior)
-    from ..ops.gather import gather_rows, gather_rows_multi
-
-    gpu = ts.gpu
-    tri = jnp.maximum(hit.tri, 0)
-    inst, idx = gather_rows_multi([gpu.tri_inst, gpu.tri_idx], tri)
-    w = 1.0 - hit.u - hit.v
-    obj_pos = (gather_rows(gpu.verts_obj, idx[:, 0]) * w[:, None]
-               + gather_rows(gpu.verts_obj, idx[:, 1]) * hit.u[:, None]
-               + gather_rows(gpu.verts_obj, idx[:, 2]) * hit.v[:, None])
-    xf_prev = gather_rows(
-        gpu.xforms_prev.reshape(-1, 12), inst).reshape(-1, 3, 4)
-    world_prev = jnp.einsum("rij,rj->ri", xf_prev[:, :, :3], obj_pos) + xf_prev[:, :, 3]
+    # velocity: the previous-frame surface point interpolates the
+    # prev-frame triangle corners carried in tri_attrs — zero extra
+    # gathers (raster_simple_vs.hlsl behavior, prev transform folded in)
+    world_prev = attrs["pos_prev"]
 
     clip_cur = _project(view.world_to_clip, pos)
     clip_prev = _project(view.world_to_clip_prev, world_prev)

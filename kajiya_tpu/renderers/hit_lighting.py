@@ -51,7 +51,7 @@ def hit_radiance(ts, hit, ray_dir, sky_env, diffuse_env,
     """
     m = hit.hit_mask
     # secondary rays sample a coarser texture mip (ray-cone LOD stand-in)
-    attrs = hit_attributes(ts, hit, ray_dir, mip=2)
+    attrs = hit_attributes(ts, hit, ray_dir, mip=2, full_shading=False)
     pos, n = attrs["pos"], attrs["normal"]
 
     # --- sun direct at the hit (one shadow ray; the reference's 1 shadow/px)

@@ -270,19 +270,27 @@ def lookup_irradiance(state, grid, pos, normal, eye, diffuse_env,
     has = entry >= 0
     se = jnp.maximum(entry, 0)
 
-    sh = state["ircache_sh"][se]                     # (..., 3, 4)
+    # SH coeffs + lifetime packed into one 13-wide row -> ONE gather per
+    # query instead of three (XLA CSEs the pack across call sites)
+    e_total = state["ircache_sh"].shape[0]
+    lut = jnp.concatenate([
+        state["ircache_sh"].reshape(e_total, 12),
+        state["ircache_life"][:, None]], axis=-1)
+    row = lut[se]                                    # (..., 13)
+    sh = row[..., :12].reshape(row.shape[:-1] + (3, 4))
     n = normal
-    basis = jnp.stack([jnp.full_like(n[..., 0], _Y00),
-                       _Y1 * n[..., 1], _Y1 * n[..., 2], _Y1 * n[..., 0]],
-                      axis=-1)
-    # E(n)/pi = L00 Y00 + (2/3) sum L1m Y1m(n)
-    w = jnp.concatenate([jnp.ones_like(basis[..., :1]),
-                         jnp.full_like(basis[..., 1:], 2.0 / 3.0)], axis=-1)
+    # E(n)/pi = L00 Y00 + (2/3) sum L1m Y1m(n) — explicit slice math (a
+    # batched (3,4)x(4,) einsum hits XLA's pathological tiny-dot path)
+    b0 = _Y00
+    b1 = (2.0 / 3.0) * _Y1 * n[..., 1]
+    b2 = (2.0 / 3.0) * _Y1 * n[..., 2]
+    b3 = (2.0 / 3.0) * _Y1 * n[..., 0]
     e_over_pi = jnp.maximum(
-        jnp.einsum("...ck,...k->...c", sh, basis * w), 0.0)
+        sh[..., 0] * b0 + sh[..., 1] * b1[..., None]
+        + sh[..., 2] * b2[..., None] + sh[..., 3] * b3[..., None], 0.0)
 
     # young entries: blend toward sky fallback by confidence
-    conf = jnp.clip(state["ircache_life"][se] / 4.0, 0.0, 1.0)[..., None]
+    conf = jnp.clip(row[..., 12] / 4.0, 0.0, 1.0)[..., None]
     fallback = sample_env(diffuse_env, n)
     return jnp.where(has[..., None], e_over_pi * conf + fallback * (1 - conf),
                      fallback)

@@ -169,16 +169,34 @@ def path_trace(
     return jnp.clip(rad, 0.0, 1e4)
 
 
-def render_sample(ts, view, width, height, frame_idx, spp_chunk: int = 1, **pt_kwargs):
-    """One progressive sample pass over the full frame -> (H, W, 3) radiance."""
-    org, d = camera_rays(view, width, height)
-    orgf = org.reshape(-1, 3)
-    df = d.reshape(-1, 3)
+PIXEL_FILTER_SIGMA = 0.4    # gaussian pixel filter, like the reference PT
+
+
+def render_sample(ts, view, width, height, frame_idx, spp_chunk: int = 1,
+                  pixel_filter: bool = True, **pt_kwargs):
+    """One progressive sample pass over the full frame -> (H, W, 3) radiance.
+
+    Each sample traces through a fresh gaussian sub-pixel offset (the
+    reference's per-sample jitter + gaussian pixel filter,
+    `reference_path_trace.rgen.hlsl:20-150`) so the converged image is
+    antialiased ground truth rather than pixel-center point samples."""
     acc = jnp.zeros((width * height, 3), jnp.float32)
     px = jnp.arange(width * height, dtype=jnp.uint32)
     for s in range(spp_chunk):
         seed = rng_mod.hash3(px, jnp.uint32(frame_idx), jnp.uint32(s))
-        acc = acc + path_trace(ts, orgf, df, seed, **pt_kwargs)
+        if pixel_filter:
+            u1, seed = rng_mod.rand_u01(seed)
+            u2, seed = rng_mod.rand_u01(seed)
+            # Box-Muller -> gaussian offsets in pixels
+            r = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-12)))
+            ang = 2.0 * jnp.pi * u2
+            jit = (jnp.stack([r * jnp.cos(ang), r * jnp.sin(ang)], axis=-1)
+                   * PIXEL_FILTER_SIGMA).reshape(height, width, 2)
+        else:
+            jit = None
+        org, d = camera_rays(view, width, height, jitter_px=jit)
+        acc = acc + path_trace(ts, org.reshape(-1, 3), d.reshape(-1, 3),
+                               seed, **pt_kwargs)
     return (acc / spp_chunk).reshape(height, width, 3)
 
 

@@ -47,11 +47,18 @@ def taa(input_img, state, reproj, jitter_px, out_h: int, out_w: int):
     else:
         uv_out = im.pixel_uv(out_h, out_w)
         jitter_uv = jnp.stack([jitter_px[0] / w, jitter_px[1] / h])
-        input_up = im.warp_bilinear(input_img, uv_out - jitter_uv)
-        m1_up = im.warp_bilinear(m1, uv_out - jitter_uv)
-        var_up = jnp.maximum(im.warp_bilinear(var, uv_out - jitter_uv), 0.0)
-        prev_uv = im.warp_bilinear(reproj["prev_uv"], uv_out)
-        validity = im.warp_bilinear(reproj["validity"], uv_out)
+        # two packed warps instead of five: input/moments at the jitter-
+        # compensated lattice, reprojection planes at the plain lattice
+        pack_in = jnp.concatenate([input_img, m1, var], axis=-1)
+        f_in = im.warp_bilinear(pack_in, uv_out - jitter_uv)
+        input_up = f_in[..., 0:3]
+        m1_up = f_in[..., 3:6]
+        var_up = jnp.maximum(f_in[..., 6:9], 0.0)
+        pack_rp = jnp.concatenate([reproj["prev_uv"],
+                                   reproj["validity"][..., None]], axis=-1)
+        f_rp = im.warp_bilinear(pack_rp, uv_out)
+        prev_uv = f_rp[..., 0:2]
+        validity = f_rp[..., 2]
 
     # --- reproject history through the velocity of the closest surface
     # (history + validity packed: one wide gather)

@@ -166,6 +166,12 @@ def refresh_trace_scene(gpu: GpuScene, bvh: Bvh, levels,
     # consolidated attribute tables: one wide gather per hit instead of a
     # dozen narrow ones (ops/gather.py::gather_rows_multi rationale)
     mt = gpu.tri_mat
+    # previous-frame corners ride the same wide row (velocity needs them;
+    # widening the fetch is ~free vs separate per-pixel vertex gathers)
+    wp_prev = gpu.world_positions_prev()
+    v0p = wp_prev[gpu.tri_idx[:, 0]]
+    e1p = wp_prev[gpu.tri_idx[:, 1]] - v0p
+    e2p = wp_prev[gpu.tri_idx[:, 2]] - v0p
     tri_attrs = jnp.concatenate([
         e1, e2, v0,
         gpu.mat_base_color[mt][:, :3],
@@ -173,7 +179,8 @@ def refresh_trace_scene(gpu: GpuScene, bvh: Bvh, levels,
         gpu.mat_roughness[mt][:, None],
         gpu.mat_emissive[mt],
         mt[:, None].astype(jnp.float32),
-    ], axis=-1)                                           # (T, 18)
+        e1p, e2p, v0p,
+    ], axis=-1)                                           # (T, 27)
     vert_attrs = jnp.concatenate(
         [vnormals, gpu.uvs, gpu.world_tangents()], axis=-1)      # (V, 9)
 
@@ -196,7 +203,9 @@ def refresh_trace_scene(gpu: GpuScene, bvh: Bvh, levels,
 
 
 def hit_attributes(ts: TraceScene, hit, ray_dir, mip: int = 0,
-                   no_normal_maps: bool = False):
+                   no_normal_maps: bool = False,
+                   full_shading: bool = True,
+                   with_prev_pos: bool = False):
     """Fetch shading attributes at hit points (the software `gbuffer.rchit`,
     cf. `assets/shaders/rt/gbuffer.rchit.hlsl`). All entries are safe for
     missed rays (mask with hit.hit_mask). Returns a dict of (R, ...) arrays.
@@ -216,16 +225,25 @@ def hit_attributes(ts: TraceScene, hit, ray_dir, mip: int = 0,
     emissive = ta[:, 14:17]
     mat = jnp.round(ta[:, 17]).astype(jnp.int32)
 
-    va0 = gather_rows(ts.vert_attrs, idx[:, 0])
-    va1 = gather_rows(ts.vert_attrs, idx[:, 1])
-    va2 = gather_rows(ts.vert_attrs, idx[:, 2])
     w = 1.0 - hit.u - hit.v
-    va = va0 * w[:, None] + va1 * hit.u[:, None] + va2 * hit.v[:, None]
-    normal = va[:, 0:3]
-    normal = smv.normalize3(normal)
-    uv = va[:, 3:5]
-    tangent = va[:, 5:8]
-    tan_w = va[:, 8]
+    if full_shading:
+        # interpolated vertex attributes (3 per-row gathers). Secondary
+        # rays pass full_shading=False and shade with the face normal —
+        # per-row gather cost dominates TPU tracing, and bounce lighting
+        # tolerates flat shading (config `fast_secondary_shading`).
+        va0 = gather_rows(ts.vert_attrs, idx[:, 0])
+        va1 = gather_rows(ts.vert_attrs, idx[:, 1])
+        va2 = gather_rows(ts.vert_attrs, idx[:, 2])
+        va = va0 * w[:, None] + va1 * hit.u[:, None] + va2 * hit.v[:, None]
+        normal = smv.normalize3(va[:, 0:3])
+        uv = va[:, 3:5]
+        tangent = va[:, 5:8]
+        tan_w = va[:, 8]
+    else:
+        normal = None
+        uv = jnp.zeros((tri.shape[0], 2), jnp.float32)
+        tangent = None
+        tan_w = None
 
     geo_n = jnp.cross(e1_t, e2_t)
     geo_n = smv.normalize3(geo_n)
@@ -233,11 +251,15 @@ def hit_attributes(ts: TraceScene, hit, ray_dir, mip: int = 0,
     flip = jnp.sign(-smv.dot3(geo_n, ray_dir))[:, None]
     flip = jnp.where(flip == 0.0, 1.0, flip)
     geo_n = geo_n * flip
-    normal = jnp.where((smv.dot3(normal, geo_n) < 0.0)[:, None], -normal, normal)
+    if normal is None:
+        normal = geo_n
+    else:
+        normal = jnp.where((smv.dot3(normal, geo_n) < 0.0)[:, None],
+                           -normal, normal)
 
     pos = v0_t + e1_t * hit.u[:, None] + e2_t * hit.v[:, None]
 
-    if gpu.tex_pages is not None:
+    if gpu.tex_pages is not None and full_shading:
         # manual texture fetch (bindless sampling equivalent; gltf packs
         # roughness in G and metalness in B of the MR map)
         from .scene.textures import sample_pages
@@ -271,7 +293,7 @@ def hit_attributes(ts: TraceScene, hit, ray_dir, mip: int = 0,
         if not no_normal_maps:      # RenderOverrides.no_normal_maps
             normal = jnp.where(t_ok[:, None], n_mapped, normal)
 
-    return dict(
+    out = dict(
         pos=pos,
         normal=normal,
         geo_normal=geo_n,
@@ -282,3 +304,8 @@ def hit_attributes(ts: TraceScene, hit, ray_dir, mip: int = 0,
         emissive=emissive,
         material=mat,
     )
+    if with_prev_pos:
+        e1p, e2p, v0p = ta[:, 18:21], ta[:, 21:24], ta[:, 24:27]
+        out["pos_prev"] = (v0p + e1p * hit.u[:, None]
+                           + e2p * hit.v[:, None])
+    return out
