@@ -162,6 +162,13 @@ def refresh_trace_scene(gpu: GpuScene, bvh: Bvh, levels,
             cmin, cmax = build_clusters(v0, e1, e2, pad_to=pad)
             woop["cmin"] = cmin
             woop["cmax"] = cmax
+            # finer clusters for the Pallas streaming tracer (CULL_TB)
+            from .ops.woop_pallas import CULL_TB
+
+            c64min, c64max = build_clusters(v0, e1, e2, pad_to=pad,
+                                            tri_block=CULL_TB)
+            woop["cmin64"] = c64min
+            woop["cmax64"] = c64max
 
     # consolidated attribute tables: one wide gather per hit instead of a
     # dozen narrow ones (ops/gather.py::gather_rows_multi rationale)
