@@ -83,26 +83,33 @@ def pixel_uv(h: int, w: int):
     return jnp.stack(jnp.broadcast_arrays(u[None, :], v[:, None]), axis=-1)
 
 
-def warp_bilinear(img, uv):
+def warp_bilinear(img, uv, exact: bool = False):
     """Bilinear sample for LOCAL warps (reprojection/temporal fetches,
     bounded-radius taps): rides the Pallas two-hot matmul kernel on TPU
     (ops/warp_pallas.py — XLA's serial gather path costs ~50 ms per 1080p
     bilinear), plain gathers elsewhere. Callers must satisfy the kernel's
-    locality contract (intra-tile sample spread <= ~24 rows)."""
+    locality contract (intra-tile sample spread <= ~24 rows).
+
+    Default precision is a single bf16 MXU pass (~2^-8 relative rounding:
+    fine for radiance/history planes). Pass exact=True whenever the
+    CHANNELS ARE COORDINATES (e.g. a warped prev_uv plane) — a 0.2% uv
+    rounding is ~2 px of history-fetch error at 1080p."""
     from ..ops import warp_pallas as wp
 
     if wp.warp_supported(img, uv):
-        return wp.warp2d_pallas(img, uv, bilinear=True)
+        return wp.warp2d_pallas(img, uv, bilinear=True, exact=exact)
     return sample_bilinear(img, uv)
 
 
 def warp_nearest(img, uv):
-    """Nearest-sample twin of `warp_bilinear` (exact values — safe for
-    packed reservoir planes)."""
+    """Nearest-sample twin of `warp_bilinear`. Always exact (HIGHEST-
+    precision one-hot matmul): nearest fetches carry packed reservoir
+    planes, depth, and coordinate payloads where bf16 rounding of the
+    VALUES is not acceptable."""
     from ..ops import warp_pallas as wp
 
     if wp.warp_supported(img, uv):
-        return wp.warp2d_pallas(img, uv, bilinear=False)
+        return wp.warp2d_pallas(img, uv, bilinear=False, exact=True)
     return sample_nearest(img, uv)
 
 

@@ -56,6 +56,12 @@ class RenderConfig:
                                             # the scene has emissive lights
     use_motion_blur: bool = True
     motion_blur_scale: float = 0.5
+    # Shade secondary (GI/reflection/ircache) hits with interpolated vertex
+    # attributes + mip-biased textures, as the reference's gbuffer.rchit
+    # does. False trades textured color bleed for ~2x cheaper bounce rays
+    # (flat face normal + constant material color); the PT oracle always
+    # shades fully, so tests quantify the bias (tests/test_oracle_textured).
+    secondary_full_shading: bool = True
     ircache: IrcacheConfig = IrcacheConfig()
     debug_mode: str = "none"             # deferred.DEBUG_MODES
     ev_shift: float = 0.0
@@ -191,7 +197,8 @@ def render_frame(ts, state, view: ViewConstants, cfg: RenderConfig,
                                     frame_idx, cfg.ircache)
         ir_state = ircache.trace_update(
             ir_state, ts, sky_env, diffuse_env, eye, frame_idx, cfg.ircache,
-            max_trace_steps=mts)
+            max_trace_steps=mts,
+            secondary_full_shading=cfg.secondary_full_shading)
         ir_grid = ircache.build_grid(ir_state, eye, cfg.ircache)
 
         def ircache_lookup(p, n, _st=ir_state, _g=ir_grid, _e=eye):
@@ -235,7 +242,8 @@ def render_frame(ts, state, view: ViewConstants, cfg: RenderConfig,
             prev_lit=state["prev_lit"], prev_depth=state["prev_depth"],
             ircache_lookup=ircache_lookup, max_trace_steps=mts,
             use_restir=cfg.use_restir_gi,
-            restir_state=restir_state if cfg.use_restir_gi else None)
+            restir_state=restir_state if cfg.use_restir_gi else None,
+            secondary_full_shading=cfg.secondary_full_shading)
         restir_state = restir_state or {}
     else:
         dgi = sky_env_mod.sample_env(diffuse_env, gb["normal"].reshape(-1, 3)
@@ -253,7 +261,8 @@ def render_frame(ts, state, view: ViewConstants, cfg: RenderConfig,
             prev_lit=state["prev_lit"], prev_depth=state["prev_depth"],
             ircache_lookup=ircache_lookup, max_trace_steps=mts,
             mesh_light_specular=cfg.use_mesh_light_specular,
-            rtdgi_candidates=rtdgi_candidates)
+            rtdgi_candidates=rtdgi_candidates,
+            secondary_full_shading=cfg.secondary_full_shading)
     else:
         refl = sky_env_mod.sample_env(
             sky_env, _reflect(gb["ray_dir"], gb["normal"]).reshape(-1, 3)

@@ -88,11 +88,13 @@ def _kernel(o_ref, d_ref, ao_ref, ad_ref, tmax_ref, t_ref, tri_ref, u_ref,
             jnp.zeros((1, rb), jnp.float32),
             jnp.zeros((1, rb), jnp.float32))
     if any_hit:
-        # occlusion rays: this whole ray block parks as soon as every lane
-        # has found SOME hit (no need for the closest one)
+        # occlusion rays: this whole ray block parks as soon as every LIVE
+        # lane has found SOME hit (no need for the closest one); dead padded
+        # lanes (tmax<=t_min) can never hit and must not defeat the exit
         def w_cond(st):
             k, (_t, tri_b, _u, _v) = st
-            return (k < n_tri_blocks) & jnp.any(tri_b < 0.0)
+            return (k < n_tri_blocks) & jnp.any((tri_b < 0.0)
+                                                & (tmax > t_min))
 
         def w_body(st):
             k, carry = st
@@ -132,41 +134,61 @@ CULL_RAY_BLOCK = 2048   # rays per chunk (wider = fewer chunks, looser beams)
 
 
 def _chunk_beams(org, d, tmax, nrb, rb):
-    """Per-chunk bounding beam: origin sphere + direction cone."""
+    """Per-chunk bounding beam: origin sphere + direction cone.
+
+    Also returns `coherent` (nrb,) bool: True only when every live ray in
+    the chunk genuinely fits a <~87deg cone around the mean direction.
+    Divergent chunks (coherent=False) must not be cone-culled at all —
+    clamping cosh upward used to cull clusters behind the mean axis that
+    backward-pointing rays could still hit (silent light leaks)."""
     o = org.reshape(nrb, rb, 3)
     dd = d.reshape(nrb, rb, 3)
+    live = (tmax.reshape(nrb, rb) > 0.0)                    # padded lanes out
+    any_live = live.any(axis=1)
     oc = o.mean(axis=1)                                     # (nrb, 3)
     ro = jnp.sqrt(jnp.maximum(
         ((o - oc[:, None]) ** 2).sum(-1), 0.0)).max(axis=1)  # (nrb,)
-    axis = dd.mean(axis=1)
-    axis = axis / jnp.maximum(
-        jnp.sqrt((axis * axis).sum(-1, keepdims=True)), 1e-8)
-    cosh = jnp.clip((dd * axis[:, None]).sum(-1).min(axis=1), 0.05, 1.0)
+    axis = dd.mean(axis=1, where=live[..., None])
+    axis = jnp.where(any_live[:, None], axis, 0.0)
+    alen = jnp.sqrt((axis * axis).sum(-1, keepdims=True))
+    axis = axis / jnp.maximum(alen, 1e-8)
+    mincos = jnp.min(jnp.where(live, (dd * axis[:, None]).sum(-1), 1.0),
+                     axis=1)
+    coherent = (mincos >= 0.05) & (alen[:, 0] >= 1e-6) & any_live
+    cosh = jnp.clip(mincos, 0.05, 1.0)
     tmax_c = tmax.reshape(nrb, rb).max(axis=1)
-    return oc, ro, axis, cosh, tmax_c
+    return oc, ro, axis, cosh, tmax_c, coherent
 
 
 def _active_blocks(woop, org, d, tmax, nrb, rb):
     """(blist (nrb, C) i32 active-first block ids, count (nrb,) i32) from a
     conservative beam-vs-cluster-sphere test. False positives only cost
-    extra visited blocks; misses are impossible (both shapes are dilated)."""
+    extra visited blocks; chunks whose rays don't genuinely fit a cone
+    (divergent bounce/GI chunks) skip the cone test entirely and visit
+    every in-range block — conservatism over speed."""
     cmin, cmax = woop["cmin64"], woop["cmax64"]             # (C, 3)
     c = (cmin + cmax) * 0.5
     rbnd = jnp.sqrt(jnp.maximum(((cmax - cmin) * 0.5) ** 2, 0.0).sum(-1))
     rbnd = jnp.where(jnp.isfinite(rbnd), rbnd, -1.0)        # empty block
-    oc, ro, axis, cosh, tmax_c = _chunk_beams(org, d, tmax, nrb, rb)
+    oc, ro, axis, cosh, tmax_c, coherent = _chunk_beams(org, d, tmax, nrb,
+                                                        rb)
 
     v = c[None, :, :] - oc[:, None, :]                      # (nrb, C, 3)
     proj = (v * axis[:, None, :]).sum(-1)
     d2 = (v * v).sum(-1)
     dperp = jnp.sqrt(jnp.maximum(d2 - proj * proj, 0.0))
+    dist = jnp.sqrt(d2)
     rr = ro[:, None] + rbnd[None, :]
     tanh_ = jnp.sqrt(jnp.maximum(1.0 - cosh * cosh, 0.0)) / cosh
+    cone_hit = ((proj >= -rr)
+                & (proj - rr <= tmax_c[:, None])
+                & (dperp <= jnp.maximum(proj, 0.0) * tanh_[:, None]
+                   + rr / cosh[:, None]))
+    # divergent chunks: only an origin-sphere distance test (any direction
+    # possible, so every block within tmax of the origin sphere is live)
+    sphere_hit = (dist - rr <= tmax_c[:, None])
     hit = ((rbnd[None, :] >= 0.0)
-           & (proj >= -rr)
-           & (proj - rr <= tmax_c[:, None])
-           & (dperp <= jnp.maximum(proj, 0.0) * tanh_[:, None]
-              + rr / cosh[:, None]))
+           & jnp.where(coherent[:, None], cone_hit, sphere_hit))
     ncl = hit.shape[1]
     iota = jax.lax.broadcasted_iota(jnp.int32, hit.shape, 1)
     keys = jnp.where(hit, iota, iota + 2 * ncl)
@@ -272,7 +294,7 @@ def _kernel_culled(count_ref, o_ref, d_ref, tmax_ref, blist_hbm,
         k, (_t, tri_b, _u, _v) = st
         go = k < cnt
         if any_hit:
-            go = go & jnp.any(tri_b < 0.0)
+            go = go & jnp.any((tri_b < 0.0) & (tmax > t_min))
         return go
 
     def w_body(st):

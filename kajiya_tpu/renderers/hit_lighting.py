@@ -38,7 +38,8 @@ def _project_to_uv(world_to_clip, p):
 def hit_radiance(ts, hit, ray_dir, sky_env, diffuse_env,
                  prev_lit=None, prev_depth=None, view=None,
                  ircache_lookup=None, max_trace_steps=None, near: float = 0.01,
-                 rng=None, light_nee: bool = True):
+                 rng=None, light_nee: bool = True,
+                 full_shading: bool = False):
     """Radiance arriving along `ray_dir` from hit/miss points. (R,) rays.
 
     prev_lit/prev_depth + view enable screen-space radiance reuse (the
@@ -48,10 +49,17 @@ def hit_radiance(ts, hit, ray_dir, sky_env, diffuse_env,
     When `rng` (uint32 (R,)) is given and the scene has emissive triangles,
     one NEE light sample + shadow ray is added (the reference's hit lighting
     includes emissive triangles, `gi-overview.md:99-161`).
+
+    full_shading: interpolate vertex attributes and sample albedo textures
+    at the hit (mip-biased — ray-cone LOD stand-in), matching the
+    reference's `gbuffer.rchit.hlsl`. Default False = face normal +
+    constant material color: ~2x cheaper per bounce ray (skips 3 vertex-row
+    gathers + texture page fetches) at the cost of untextured GI color
+    bleed. Threaded from `RenderConfig.secondary_full_shading`.
     """
     m = hit.hit_mask
     # secondary rays sample a coarser texture mip (ray-cone LOD stand-in)
-    attrs = hit_attributes(ts, hit, ray_dir, mip=2, full_shading=False)
+    attrs = hit_attributes(ts, hit, ray_dir, mip=2, full_shading=full_shading)
     pos, n = attrs["pos"], attrs["normal"]
 
     # --- sun direct at the hit (one shadow ray; the reference's 1 shadow/px)

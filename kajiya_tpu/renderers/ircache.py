@@ -182,7 +182,8 @@ def allocate(state, grid, query_pos, query_mask, eye, frame_idx,
 # ----------------------------------------------------------------------------
 
 def trace_update(state, ts, sky_env, diffuse_env, eye, frame_idx,
-                 cfg: IrcacheConfig, max_trace_steps=None):
+                 cfg: IrcacheConfig, max_trace_steps=None,
+                 secondary_full_shading: bool = False):
     """Trace rays_per_entry uniform-sphere rays per live entry and blend the
     SH estimate ('trace irradiance' + 'sum up irradiance' passes).
 
@@ -220,7 +221,8 @@ def trace_update(state, ts, sky_env, diffuse_env, eye, frame_idx,
 
     rad = hit_radiance(ts, hit, d, sky_env, diffuse_env,
                        ircache_lookup=cache_lookup,
-                       max_trace_steps=max_trace_steps, rng=rngs)
+                       max_trace_steps=max_trace_steps, rng=rngs,
+                       full_shading=secondary_full_shading)
     rad = jnp.where(live_r[:, None], rad, 0.0)
     # fusion fence (see barrier note below)
     rad, d = jax.lax.optimization_barrier((rad, d))
@@ -246,10 +248,6 @@ def trace_update(state, ts, sky_env, diffuse_env, eye, frame_idx,
     out["ircache_sh"] = sh
     out["ircache_life"] = life
     return out
-
-
-def _eye_hack():
-    return jnp.zeros((3,), jnp.float32)
 
 
 # ----------------------------------------------------------------------------

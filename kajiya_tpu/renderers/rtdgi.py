@@ -5,9 +5,9 @@ doc `gi-overview.md:97-177`): trace half-res cosine-hemisphere candidate
 rays, light the hits (hit_lighting.py), reuse temporally via reprojection,
 filter spatially, and resolve to full resolution guided by depth/normal.
 
-This module currently implements the candidate-trace + temporal/spatial
-filter chain; ReSTIR reservoir exchange (restir_temporal/spatial/resolve)
-lands on top in `restir.py` and upgrades the candidate stream in place.
+This module implements the candidate-trace + temporal/spatial filter
+chain; the ReSTIR reservoir exchange (restir_temporal/spatial/resolve)
+lives in `restir_gi.py` and upgrades the candidate stream in place.
 Output = incident diffuse irradiance / pi ("E/pi"), to be multiplied by the
 diffuse albedo in the deferred combine (light_gbuffer.hlsl convention).
 """
@@ -44,7 +44,8 @@ def _half(gb):
 
 def trace_candidates(ts, gb_h, frame_idx, sky_env, diffuse_env,
                      prev_lit=None, prev_depth=None, view=None,
-                     ircache_lookup=None, max_trace_steps=None):
+                     ircache_lookup=None, max_trace_steps=None,
+                     secondary_full_shading: bool = False):
     """Half-res candidate trace (`trace_diffuse.rgen.hlsl`): one cosine ray
     per half-res pixel. Returns dict(radiance, ray_dir, ray_t, valid)."""
     hh, hw = gb_h["hit"].shape
@@ -65,7 +66,8 @@ def trace_candidates(ts, gb_h, frame_idx, sky_env, diffuse_env,
     rad = hit_radiance(ts, hit, wi, sky_env, diffuse_env,
                        prev_lit=prev_lit, prev_depth=prev_depth, view=view,
                        ircache_lookup=ircache_lookup,
-                       max_trace_steps=max_trace_steps, rng=rng)
+                       max_trace_steps=max_trace_steps, rng=rng,
+                       full_shading=secondary_full_shading)
     valid = gb_h["hit"].reshape(-1)
     # cosine-weighted estimator of E/pi is simply the sampled radiance
     return {
@@ -103,13 +105,15 @@ def _edge_aware_upsample(half_img, gb, near: float = 0.01):
 def rtdgi_pipeline(ts, gb, view, frame_idx, state, reproj, sky_env,
                    diffuse_env, ssao=None, prev_lit=None, prev_depth=None,
                    ircache_lookup=None, max_trace_steps=None,
-                   use_restir: bool = True, restir_state=None):
+                   use_restir: bool = True, restir_state=None,
+                   secondary_full_shading: bool = False):
     """Full chain -> (diffuse E/pi (H, W, 3), new_state, new_restir_state)."""
     gb_h = _half(gb)
     candidates = trace_candidates(
         ts, gb_h, frame_idx, sky_env, diffuse_env, prev_lit=prev_lit,
         prev_depth=prev_depth, view=view, ircache_lookup=ircache_lookup,
-        max_trace_steps=max_trace_steps)
+        max_trace_steps=max_trace_steps,
+        secondary_full_shading=secondary_full_shading)
 
     if use_restir and restir_state is not None:
         from . import restir_gi

@@ -60,7 +60,8 @@ def init_state(h: int, w: int):
 
 def trace_reflections(ts, gb, frame_idx, sky_env, diffuse_env,
                       prev_lit=None, prev_depth=None, view=None,
-                      ircache_lookup=None, max_trace_steps=None):
+                      ircache_lookup=None, max_trace_steps=None,
+                      secondary_full_shading: bool = False):
     """Half-res reflection trace (`reflection.rgen.hlsl`): one VNDF ray per
     half-res pixel. Returns dict(radiance, ray_t, wi, pdf, valid)."""
     pos = im.decimate2(gb["pos"])
@@ -93,7 +94,8 @@ def trace_reflections(ts, gb, frame_idx, sky_env, diffuse_env,
     rad = hit_radiance(ts, hit, wi, sky_env, diffuse_env,
                        prev_lit=prev_lit, prev_depth=prev_depth, view=view,
                        ircache_lookup=ircache_lookup,
-                       max_trace_steps=max_trace_steps, rng=rng)
+                       max_trace_steps=max_trace_steps, rng=rng,
+                       full_shading=secondary_full_shading)
     valid = hitm.reshape(-1)
     return {
         "radiance": jnp.where(valid[:, None], rad, 0.0).reshape(hh, hw, 3),
@@ -223,7 +225,8 @@ def restir_reflections(state, half, gb, reproj, frame_idx,
 
 def validate_reservoirs(ts, state, gb, sky_env, diffuse_env, frame_idx,
                         prev_lit=None, prev_depth=None, view=None,
-                        ircache_lookup=None, max_trace_steps=None):
+                        ircache_lookup=None, max_trace_steps=None,
+                        secondary_full_shading: bool = False):
     """Quarter-res re-trace of stored reservoir rays
     (`reflection_validate.rgen.hlsl`, every 3rd frame,
     `gi-overview.md:346-350`): where the fresh radiance disagrees with the
@@ -246,25 +249,62 @@ def validate_reservoirs(ts, state, gb, sky_env, diffuse_env, frame_idx,
     fresh = hit_radiance(ts, hit, d, sky_env, diffuse_env,
                          prev_lit=prev_lit, prev_depth=prev_depth, view=view,
                          ircache_lookup=ircache_lookup,
-                         max_trace_steps=max_trace_steps)
+                         max_trace_steps=max_trace_steps,
+                         full_shading=secondary_full_shading)
     lum_old = luminance(rad_q.reshape(-1, 3))
     lum_new = luminance(fresh)
     mismatch = (jnp.abs(lum_new - lum_old)
                 > 0.3 * jnp.maximum(jnp.maximum(lum_old, lum_new), 1e-3))
     invalid = (mismatch & live).reshape(qh, qw)
 
-    # scatter back to half res: each validated reservoir covers a 2x2 block
+    # Scatter back to half res. Only the top-left reservoir of each 2x2 was
+    # actually re-traced (along ITS stored dir), so only that lane gets the
+    # fresh payload; the 3 neighbors keep their own dir/radiance but have
+    # their history cut (M clamp) so their stale sample re-weighs fast.
     inv_h = jnp.repeat(jnp.repeat(invalid, 2, axis=0), 2, axis=1)[:hh, :hw]
     fresh_h = jnp.repeat(jnp.repeat(fresh.reshape(qh, qw, 3), 2, axis=0),
                          2, axis=1)[:hh, :hw]
+    t_h = jnp.repeat(jnp.repeat(
+        jnp.minimum(hit.t, 1e8).reshape(qh, qw), 2, axis=0),
+        2, axis=1)[:hh, :hw]
+    rows = jnp.arange(hh)[:, None]
+    cols = jnp.arange(hw)[None, :]
+    traced_lane = (rows % 2 == 0) & (cols % 2 == 0)
+    replace = inv_h & traced_lane
+    cut_only = inv_h & ~traced_lane
+
+    # p_hat = lum(L) * pdf_vndf(dir): dir is unchanged on the re-traced
+    # lane, so the new p_hat is the old one rescaled by the luminance ratio
+    lum_old_h = luminance(state["rtr_res_radiance"].reshape(-1, 3)
+                          ).reshape(hh, hw)
+    lum_new_h = luminance(fresh_h.reshape(-1, 3)).reshape(hh, hw)
+    p_hat_new = jnp.where(lum_old_h > 1e-8,
+                          state["rtr_res_p_hat"] * lum_new_h
+                          / jnp.maximum(lum_old_h, 1e-8),
+                          lum_new_h)
 
     new = dict(state)
-    new["rtr_res_radiance"] = jnp.where(inv_h[..., None], fresh_h,
+    new["rtr_res_radiance"] = jnp.where(replace[..., None], fresh_h,
                                         state["rtr_res_radiance"])
-    # cut history: the replaced sample restarts with M=1, W from its own lum
-    new["rtr_res_M"] = jnp.where(inv_h, 1.0, state["rtr_res_M"])
-    new["rtr_res_w_sum"] = jnp.where(
-        inv_h, luminance(fresh_h), state["rtr_res_w_sum"])
+    new["rtr_res_t"] = jnp.where(replace, t_h, state["rtr_res_t"])
+    new["rtr_res_p_hat"] = jnp.where(replace, p_hat_new,
+                                     state["rtr_res_p_hat"])
+    # replaced sample restarts with M=1, w_sum=lum so the single-sample
+    # estimate (L/lum)*w_sum/M equals the fresh trace; W kept consistent
+    # with w_sum/(M*p_hat)
+    w_sum_r = lum_new_h
+    new["rtr_res_w_sum"] = jnp.where(replace, w_sum_r,
+                                     state["rtr_res_w_sum"])
+    new["rtr_res_W"] = jnp.where(
+        replace, w_sum_r / jnp.maximum(p_hat_new, 1e-8),
+        state["rtr_res_W"])
+    new["rtr_res_M"] = jnp.where(replace, 1.0, state["rtr_res_M"])
+    # neighbors: proportional M clamp (W = w_sum/(M*p_hat) invariant)
+    m_old = new["rtr_res_M"]
+    factor = jnp.where(cut_only & (m_old > 1.0),
+                       1.0 / jnp.maximum(m_old, 1.0), 1.0)
+    new["rtr_res_M"] = m_old * factor
+    new["rtr_res_w_sum"] = new["rtr_res_w_sum"] * factor
     return new
 
 
@@ -305,13 +345,15 @@ def _resolve_full(spec_h, ray_len_h, gb, near: float = 0.01):
 def rtr_pipeline(ts, gb, view, frame_idx, state, reproj, sky_env, diffuse_env,
                  prev_lit=None, prev_depth=None, ircache_lookup=None,
                  max_trace_steps=None, half=None, mesh_light_specular=False,
-                 rtdgi_candidates=None, use_restir: bool = True):
+                 rtdgi_candidates=None, use_restir: bool = True,
+                 secondary_full_shading: bool = False):
     """Full chain -> (specular radiance (H, W, 3), new_state)."""
     if half is None:
         half = trace_reflections(
             ts, gb, frame_idx, sky_env, diffuse_env, prev_lit=prev_lit,
             prev_depth=prev_depth, view=view, ircache_lookup=ircache_lookup,
-            max_trace_steps=max_trace_steps)
+            max_trace_steps=max_trace_steps,
+            secondary_full_shading=secondary_full_shading)
 
     if mesh_light_specular:
         # explicit emissive-triangle specular added into the reflection
@@ -332,7 +374,8 @@ def rtr_pipeline(ts, gb, view, frame_idx, state, reproj, sky_env, diffuse_env,
                 ts, rs, gb, sky_env, diffuse_env, frame_idx,
                 prev_lit=prev_lit, prev_depth=prev_depth, view=view,
                 ircache_lookup=ircache_lookup,
-                max_trace_steps=max_trace_steps)
+                max_trace_steps=max_trace_steps,
+                secondary_full_shading=secondary_full_shading)
 
         res_state = jax.lax.cond(
             jnp.asarray(frame_idx, jnp.int32) % VALIDATE_PERIOD == 0,

@@ -56,7 +56,9 @@ def taa(input_img, state, reproj, jitter_px, out_h: int, out_w: int):
         var_up = jnp.maximum(f_in[..., 6:9], 0.0)
         pack_rp = jnp.concatenate([reproj["prev_uv"],
                                    reproj["validity"][..., None]], axis=-1)
-        f_rp = im.warp_bilinear(pack_rp, uv_out)
+        # exact: the channels are COORDINATES (prev_uv) — bf16 rounding of
+        # a uv is up to ~2 px of history-fetch error at 1080p
+        f_rp = im.warp_bilinear(pack_rp, uv_out, exact=True)
         prev_uv = f_rp[..., 0:2]
         validity = f_rp[..., 2]
 

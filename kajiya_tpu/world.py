@@ -235,9 +235,10 @@ def hit_attributes(ts: TraceScene, hit, ray_dir, mip: int = 0,
     w = 1.0 - hit.u - hit.v
     if full_shading:
         # interpolated vertex attributes (3 per-row gathers). Secondary
-        # rays pass full_shading=False and shade with the face normal —
-        # per-row gather cost dominates TPU tracing, and bounce lighting
-        # tolerates flat shading (config `fast_secondary_shading`).
+        # rays may pass full_shading=False and shade with the face normal —
+        # per-row gather cost dominates TPU tracing; the tradeoff is chosen
+        # by `RenderConfig.secondary_full_shading` (default True = the
+        # reference's gbuffer.rchit behavior).
         va0 = gather_rows(ts.vert_attrs, idx[:, 0])
         va1 = gather_rows(ts.vert_attrs, idx[:, 1])
         va2 = gather_rows(ts.vert_attrs, idx[:, 2])

@@ -126,7 +126,19 @@ def test_validation_kills_stale_reservoirs(setup):
         ts, s, gb, sky, denv, 0, max_trace_steps=256))(state)
     rad_new = np.asarray(new["rtr_res_radiance"])
     m_new = np.asarray(new["rtr_res_M"])
-    # the bogus 50.0 radiance cannot survive validation on hit pixels
+    w_new = np.asarray(new["rtr_res_W"])
+    p_new = np.asarray(new["rtr_res_p_hat"])
+    ws_new = np.asarray(new["rtr_res_w_sum"])
     valid = np.asarray(gb["hit"])[::2, ::2]
-    assert (rad_new[valid].max() < 49.0)
+    # the re-traced lanes (top-left of each 2x2) get the fresh payload:
+    # the bogus 50.0 radiance cannot survive there
+    traced = np.zeros_like(valid)
+    traced[::2, ::2] = True
+    assert rad_new[valid & traced].max() < 49.0
+    # every invalidated lane (traced or neighbor) has its history cut
     assert (m_new[valid] <= 1.0 + 1e-6).all()
+    # replaced lanes keep W == w_sum / (M * p_hat) consistent
+    repl = valid & traced
+    np.testing.assert_allclose(
+        w_new[repl], ws_new[repl] / np.maximum(p_new[repl], 1e-8),
+        rtol=1e-4)
