@@ -101,15 +101,19 @@ def warp_bilinear(img, uv, exact: bool = False):
     return sample_bilinear(img, uv)
 
 
-def warp_nearest(img, uv):
-    """Nearest-sample twin of `warp_bilinear`. Always exact (HIGHEST-
-    precision one-hot matmul): nearest fetches carry packed reservoir
-    planes, depth, and coordinate payloads where bf16 rounding of the
-    VALUES is not acceptable."""
+def warp_nearest(img, uv, exact: bool = False):
+    """Nearest-sample twin of `warp_bilinear`.
+
+    NOT bit-exact by default: values ride a single bf16 MXU pass (~2^-8
+    relative rounding). That is fine for the packed reservoir planes,
+    radiance history, and depth-for-validity payloads that ride this path
+    (all compared against 5-30% thresholds downstream). Pass exact=True
+    when the channels are COORDINATES (a warped uv plane) or anything
+    where 0.2% relative error is user-visible — costs ~6x MXU time."""
     from ..ops import warp_pallas as wp
 
     if wp.warp_supported(img, uv):
-        return wp.warp2d_pallas(img, uv, bilinear=False, exact=True)
+        return wp.warp2d_pallas(img, uv, bilinear=False, exact=exact)
     return sample_nearest(img, uv)
 
 

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from .core import img as im
 from .core import rng as rng_mod
 from .core.camera import ViewConstants
+from .core.profiling import pass_scope
 from .renderers import deferred, gbuffer, ircache, post, reprojection, rtdgi, rtr, shadows, ssgi, taa
 from .renderers.ircache import IrcacheConfig
 from .sky import env as sky_env_mod
@@ -133,7 +134,8 @@ def render_frame(ts, state, view: ViewConstants, cfg: RenderConfig,
     mts = cfg.max_trace_steps
 
     if levels is not None:
-        ts = refresh_trace_scene(ts.gpu, ts.bvh, levels)
+        with pass_scope("tlas_refit"):
+            ts = refresh_trace_scene(ts.gpu, ts.bvh, levels)
 
     # --- sky + convolve (sky.rs); an IBL env map replaces the procedural
     # atmosphere when provided (ibl.rs:18-85). Gather-free forms: the
@@ -156,8 +158,9 @@ def render_frame(ts, state, view: ViewConstants, cfg: RenderConfig,
             sky_env_mod.project_sh9(small))
 
     # --- primary visibility ("raster simple")
-    gb = gbuffer.raytrace_gbuffer(ts, view, w, h, max_trace_steps=mts,
-                                  no_normal_maps=cfg.no_normal_maps)
+    with pass_scope("gbuffer"):
+        gb = gbuffer.raytrace_gbuffer(ts, view, w, h, max_trace_steps=mts,
+                                      no_normal_maps=cfg.no_normal_maps)
 
     # --- render overrides (debug isolation knobs, render_overrides.rs)
     if cfg.force_face_normals:
@@ -169,8 +172,9 @@ def render_frame(ts, state, view: ViewConstants, cfg: RenderConfig,
             gb["roughness"] * cfg.roughness_scale, 1e-3, 1.0))
 
     # --- reprojection map
-    reproj = reprojection.calculate_reprojection_map(
-        gb, state["prev_depth"], view, near=cfg.near)
+    with pass_scope("reprojection"):
+        reproj = reprojection.calculate_reprojection_map(
+            gb, state["prev_depth"], view, near=cfg.near)
 
     # --- irradiance cache: allocate from quarter-res surface query points,
     # trace per-entry rays, expose the lookup to every downstream pass
@@ -192,14 +196,15 @@ def render_frame(ts, state, view: ViewConstants, cfg: RenderConfig,
             _s //= 2
         q_pos = q_pos.reshape(-1, 3)
         q_mask = q_mask.reshape(-1)
-        grid0 = ircache.build_grid(ir_state, eye, cfg.ircache)
-        ir_state = ircache.allocate(ir_state, grid0, q_pos, q_mask, eye,
-                                    frame_idx, cfg.ircache)
-        ir_state = ircache.trace_update(
-            ir_state, ts, sky_env, diffuse_env, eye, frame_idx, cfg.ircache,
-            max_trace_steps=mts,
-            secondary_full_shading=cfg.secondary_full_shading)
-        ir_grid = ircache.build_grid(ir_state, eye, cfg.ircache)
+        with pass_scope("ircache"):
+            grid0 = ircache.build_grid(ir_state, eye, cfg.ircache)
+            ir_state = ircache.allocate(ir_state, grid0, q_pos, q_mask, eye,
+                                        frame_idx, cfg.ircache)
+            ir_state = ircache.trace_update(
+                ir_state, ts, sky_env, diffuse_env, eye, frame_idx,
+                cfg.ircache, max_trace_steps=mts,
+                secondary_full_shading=cfg.secondary_full_shading)
+            ir_grid = ircache.build_grid(ir_state, eye, cfg.ircache)
 
         def ircache_lookup(p, n, _st=ir_state, _g=ir_grid, _e=eye):
             return ircache.lookup_irradiance(_st, _g, p, n, _e, diffuse_env,
@@ -210,21 +215,25 @@ def render_frame(ts, state, view: ViewConstants, cfg: RenderConfig,
 
     # --- ssao
     if cfg.use_ssao:
-        ao, ssgi_state = ssgi.ssao_pipeline(gb, view, frame_idx,
-                                            {"ssao_history": state["ssao_history"]},
-                                            reproj, near=cfg.near)
+        with pass_scope("ssao"):
+            ao, ssgi_state = ssgi.ssao_pipeline(
+                gb, view, frame_idx,
+                {"ssao_history": state["ssao_history"]}, reproj,
+                near=cfg.near)
     else:
         ao = jnp.ones((h, w), jnp.float32)
         ssgi_state = {"ssao_history": state["ssao_history"]}
 
     # --- sun shadows + denoise
     if cfg.sun_soft_shadows:
-        mask = shadows.trace_sun_shadow_mask(ts, gb, frame_idx,
-                                             max_trace_steps=mts)
-        shadow, shadow_state = shadows.denoise(
-            mask, {"moments": state["moments"],
-                   "history_len": state["history_len"]},
-            reproj, gb, near=cfg.near)
+        with pass_scope("shadow_trace"):
+            mask = shadows.trace_sun_shadow_mask(ts, gb, frame_idx,
+                                                 max_trace_steps=mts)
+        with pass_scope("shadow_denoise"):
+            shadow, shadow_state = shadows.denoise(
+                mask, {"moments": state["moments"],
+                       "history_len": state["history_len"]},
+                reproj, gb, near=cfg.near)
     else:
         shadow = jnp.ones((h, w), jnp.float32)
         shadow_state = {"moments": state["moments"],
@@ -234,6 +243,7 @@ def render_frame(ts, state, view: ViewConstants, cfg: RenderConfig,
     restir_state = {k: v for k, v in state.items() if k.startswith("gi_res_")}
     rtdgi_candidates = None
     if cfg.use_rtdgi:
+      with pass_scope("rtdgi"):
         dgi, rtdgi_state, restir_state, rtdgi_candidates = rtdgi.rtdgi_pipeline(
             ts, gb, view, frame_idx,
             {"rtdgi_history": state["rtdgi_history"],
@@ -254,6 +264,7 @@ def render_frame(ts, state, view: ViewConstants, cfg: RenderConfig,
     # --- reflections
     rtr_keys = [k for k in state if k.startswith("rtr_")]
     if cfg.use_rtr:
+      with pass_scope("rtr"):
         refl, rtr_state = rtr.rtr_pipeline(
             ts, gb, view, frame_idx,
             {k: state[k] for k in rtr_keys},
@@ -271,21 +282,25 @@ def render_frame(ts, state, view: ViewConstants, cfg: RenderConfig,
 
     # --- deferred combine (light_gbuffer). The background sky is smooth:
     # evaluate at quarter res and upsample (4x fewer atmosphere marches)
-    if h % 4 == 0 and w % 4 == 0:
-        sky_q = sky_env_mod.sample_env(
-            sky_env_bg, im.decimate2(im.decimate2(gb["ray_dir"])).reshape(-1, 3)
-        ).reshape(h // 4, w // 4, 3)
-        sky_bg = im.upsample2x_bilinear(im.upsample2x_bilinear(sky_q))
-    else:
-        sky_bg = sky_env_mod.sample_env(
-            sky_env_bg, gb["ray_dir"].reshape(-1, 3)).reshape(h, w, 3)
-    lit = deferred.light_gbuffer(
-        gb, shadow, dgi, refl, sky_bg,
-        ts.gpu.sun_radiance, ts.gpu.sun_direction,
-        ssao=ao, debug_mode=cfg.debug_mode)
+    with pass_scope("sky_bg"):
+        if h % 4 == 0 and w % 4 == 0:
+            sky_q = sky_env_mod.sample_env(
+                sky_env_bg,
+                im.decimate2(im.decimate2(gb["ray_dir"])).reshape(-1, 3)
+            ).reshape(h // 4, w // 4, 3)
+            sky_bg = im.upsample2x_bilinear(im.upsample2x_bilinear(sky_q))
+        else:
+            sky_bg = sky_env_mod.sample_env(
+                sky_env_bg, gb["ray_dir"].reshape(-1, 3)).reshape(h, w, 3)
+    with pass_scope("deferred"):
+        lit = deferred.light_gbuffer(
+            gb, shadow, dgi, refl, sky_bg,
+            ts.gpu.sun_radiance, ts.gpu.sun_direction,
+            ssao=ao, debug_mode=cfg.debug_mode)
 
     # --- taa (temporal super-res)
     if cfg.use_taa:
+      with pass_scope("taa"):
         aa, taa_state = taa.taa(
             lit, {"taa_history": state["taa_history"],
                   "taa_valid": state["taa_valid"]},
@@ -307,14 +322,16 @@ def render_frame(ts, state, view: ViewConstants, cfg: RenderConfig,
             vel_out = _im.upsample_bilinear(vel_out, aa.shape[0], aa.shape[1])
             depth_for_mb = _im.upsample_bilinear(gb["depth"], aa.shape[0],
                                                  aa.shape[1])
-        aa = mb.motion_blur(aa, vel_out, depth_for_mb,
-                            frame_fraction=cfg.motion_blur_scale)
+        with pass_scope("motion_blur"):
+            aa = mb.motion_blur(aa, vel_out, depth_for_mb,
+                                frame_fraction=cfg.motion_blur_scale)
 
     # --- post: exposure + glare + tonemap
-    exposure, exp_state = post.update_exposure(
-        {"smoothed_ev": state["smoothed_ev"]}, lit,
-        dt=cfg.dt, ev_shift=cfg.ev_shift)
-    final = post.post_combine(aa, exposure)
+    with pass_scope("post"):
+        exposure, exp_state = post.update_exposure(
+            {"smoothed_ev": state["smoothed_ev"]}, lit,
+            dt=cfg.dt, ev_shift=cfg.ev_shift)
+        final = post.post_combine(aa, exposure)
 
     new_state = {
         "frame_idx": frame_idx + 1,
@@ -358,7 +375,8 @@ def render_frame_reference(ts, state, view: ViewConstants, cfg: RenderConfig,
     from .renderers import reference as refpt
 
     if levels is not None:
-        ts = refresh_trace_scene(ts.gpu, ts.bvh, levels)
+        with pass_scope("tlas_refit"):
+            ts = refresh_trace_scene(ts.gpu, ts.bvh, levels)
 
     frame_radiance = refpt.render_sample(
         ts, view, cfg.width, cfg.height,

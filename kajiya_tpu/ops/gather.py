@@ -42,6 +42,57 @@ def take_rows(table, idx):
     return table.at[idx].get(mode="promise_in_bounds")
 
 
+# Lane-major fetch: tables at or below this many rows ride a fused one-hot
+# MXU matmul (measured on v5e: 2M-ray fetch from a 64-row table = 1.2 ms vs
+# 7.6 ms for the padded wide gather; crossover vs the 6.4 ms gather is
+# ~1.5k rows — tools/micro_gather_layout.py / micro_onehot_thresh.py).
+ONEHOT_T_MAX = 1024
+
+
+def fetch_rows_t(table, idx):
+    """table: (T, C) f32, idx: (R,) int32 in-bounds -> (C, R) LANE-MAJOR.
+
+    The padded row-major gather result (R, C){1,0} tiles C up to 128 lanes
+    (a 30-wide fetch at 1080p occupies 1.06 GB and every consumer fusion
+    re-reads it); the lane-major form is dense. Small tables skip the
+    serial gather entirely: out = table^T @ onehot(idx) on the MXU with
+    HIGHEST precision (exact f32 selection via the 6-pass emulation — the
+    one-hot construction fuses into the dot, nothing (T, R) materializes).
+    """
+    t = table.shape[0]
+    if t <= ONEHOT_T_MAX:
+        one = (jax.lax.broadcasted_iota(jnp.int32, (t, idx.shape[0]), 0)
+               == idx[None, :]).astype(jnp.float32)
+        return jax.lax.dot_general(
+            table, one, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST)
+    return table.at[idx].get(mode="promise_in_bounds").T
+
+
+def interp3_rows_t(table, i0, i1, i2, w0, w1, w2):
+    """Barycentric-weighted 3-row fetch, lane-major:
+    out[:, r] = w0[r]*table[i0[r]] + w1[r]*table[i1[r]] + w2[r]*table[i2[r]]
+
+    Small tables fuse gather AND interpolation into ONE matmul against a
+    three-hot weight matrix (the vertex-attribute analog of the Pallas
+    two-hot warp kernel); duplicate indices accumulate, which is exactly
+    the right semantics. Returns (C, R)."""
+    t = table.shape[0]
+    r = i0.shape[0]
+    if t <= ONEHOT_T_MAX:
+        iota = jax.lax.broadcasted_iota(jnp.int32, (t, r), 0)
+        m = (jnp.where(iota == i0[None, :], w0[None, :], 0.0)
+             + jnp.where(iota == i1[None, :], w1[None, :], 0.0)
+             + jnp.where(iota == i2[None, :], w2[None, :], 0.0))
+        return jax.lax.dot_general(
+            table, m, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST)
+    va0 = table.at[i0].get(mode="promise_in_bounds")
+    va1 = table.at[i1].get(mode="promise_in_bounds")
+    va2 = table.at[i2].get(mode="promise_in_bounds")
+    return (va0 * w0[:, None] + va1 * w1[:, None] + va2 * w2[:, None]).T
+
+
 def gather_rows(table, idx):
     """table: (V, C) or (V,) float/int; idx: (R,) int32 (assumed in-bounds).
     Returns table[idx] computed the fast way for the table size. Integer

@@ -179,6 +179,11 @@ def refresh_trace_scene(gpu: GpuScene, bvh: Bvh, levels,
     v0p = wp_prev[gpu.tri_idx[:, 0]]
     e1p = wp_prev[gpu.tri_idx[:, 1]] - v0p
     e2p = wp_prev[gpu.tri_idx[:, 2]] - v0p
+    # unit geometric normal precomputed PER TRIANGLE: the per-pixel
+    # cross+normalize it replaces cost ~17 ms/frame at 1080p (three fused
+    # re-reads of the wide attribute fetch)
+    g_cross = jnp.cross(e1, e2)
+    g_n = g_cross / jnp.maximum(smv.norm3(g_cross), 1e-12)[:, None]
     tri_attrs = jnp.concatenate([
         e1, e2, v0,
         gpu.mat_base_color[mt][:, :3],
@@ -187,7 +192,8 @@ def refresh_trace_scene(gpu: GpuScene, bvh: Bvh, levels,
         gpu.mat_emissive[mt],
         mt[:, None].astype(jnp.float32),
         e1p, e2p, v0p,
-    ], axis=-1)                                           # (T, 27)
+        g_n,
+    ], axis=-1)                                           # (T, 30)
     vert_attrs = jnp.concatenate(
         [vnormals, gpu.uvs, gpu.world_tangents()], axis=-1)      # (V, 9)
 
@@ -218,54 +224,62 @@ def hit_attributes(ts: TraceScene, hit, ray_dir, mip: int = 0,
     missed rays (mask with hit.hit_mask). Returns a dict of (R, ...) arrays.
 
     `mip` selects the texture mip (primary rays 0; secondary rays pass a
-    coarser level — the ray-cone LOD role of `inc/ray_cone.hlsl`)."""
-    from .ops.gather import gather_rows, gather_rows_multi
+    coarser level — the ray-cone LOD role of `inc/ray_cone.hlsl`).
+
+    Internals are LANE-MAJOR (C, R): the attribute fetch lands as (30, R)
+    dense rows (ops/gather.py::fetch_rows_t — small scenes skip the serial
+    gather via a fused one-hot MXU matmul) and all math stays in (3, R)
+    planes; outputs transpose to the (R, C) convention at the end, which
+    XLA lowers to (R, C){0,1} — physically the same dense layout."""
+    from .ops.gather import fetch_rows_t, interp3_rows_t, take_rows
 
     gpu = ts.gpu
     tri = jnp.maximum(hit.tri, 0)
-    # one wide fetch per index stream: triangle attrs, then 3 vertex attrs
-    ta, idx = gather_rows_multi([ts.tri_attrs, gpu.tri_idx], tri)
-    e1_t, e2_t, v0_t = ta[:, 0:3], ta[:, 3:6], ta[:, 6:9]
-    base_color = ta[:, 9:12]
-    metallic = ta[:, 12]
-    roughness = ta[:, 13]
-    emissive = ta[:, 14:17]
-    mat = jnp.round(ta[:, 17]).astype(jnp.int32)
+    ta = fetch_rows_t(ts.tri_attrs, tri)                    # (30, R)
+    e1_t, e2_t, v0_t = ta[0:3], ta[3:6], ta[6:9]
+    base_color = ta[9:12]
+    metallic = ta[12]
+    roughness = ta[13]
+    emissive = ta[14:17]
+    mat = jnp.round(ta[17]).astype(jnp.int32)
+
+    u_l, v_l = hit.u[None, :], hit.v[None, :]
+    rd_t = ray_dir.T                                        # (3, R)
+
+    def dot3_l(a, b):
+        return (a * b).sum(axis=0, keepdims=True)           # (1, R)
+
+    # geometric normal: fetched per-triangle (precomputed unit), oriented
+    # against the incoming ray (double-sided materials)
+    geo_n = ta[27:30]
+    flip = jnp.sign(-dot3_l(geo_n, rd_t))
+    flip = jnp.where(flip == 0.0, 1.0, flip)
+    geo_n = geo_n * flip
 
     w = 1.0 - hit.u - hit.v
     if full_shading:
-        # interpolated vertex attributes (3 per-row gathers). Secondary
-        # rays may pass full_shading=False and shade with the face normal —
-        # per-row gather cost dominates TPU tracing; the tradeoff is chosen
-        # by `RenderConfig.secondary_full_shading` (default True = the
-        # reference's gbuffer.rchit behavior).
-        va0 = gather_rows(ts.vert_attrs, idx[:, 0])
-        va1 = gather_rows(ts.vert_attrs, idx[:, 1])
-        va2 = gather_rows(ts.vert_attrs, idx[:, 2])
-        va = va0 * w[:, None] + va1 * hit.u[:, None] + va2 * hit.v[:, None]
-        normal = smv.normalize3(va[:, 0:3])
-        uv = va[:, 3:5]
-        tangent = va[:, 5:8]
-        tan_w = va[:, 8]
+        # interpolated vertex attributes: ONE three-hot weighted matmul on
+        # small scenes (gather + barycentric lerp fused); three wide
+        # gathers beyond ONEHOT_T_MAX. Secondary rays may pass
+        # full_shading=False and shade with the face normal — the tradeoff
+        # is chosen by `RenderConfig.secondary_full_shading` (default True
+        # = the reference's gbuffer.rchit behavior).
+        idx = take_rows(gpu.tri_idx, tri)                   # (R, 3)
+        va = interp3_rows_t(ts.vert_attrs, idx[:, 0], idx[:, 1], idx[:, 2],
+                            w, hit.u, hit.v)                # (9, R)
+        nrm = va[0:3]
+        nrm = nrm / jnp.maximum(jnp.sqrt(dot3_l(nrm, nrm)), 1e-12)
+        normal = jnp.where(dot3_l(nrm, geo_n) < 0.0, -nrm, nrm)
+        uv = va[3:5].T
+        tangent = va[5:8]
+        tan_w = va[8]
     else:
-        normal = None
+        normal = geo_n
         uv = jnp.zeros((tri.shape[0], 2), jnp.float32)
         tangent = None
         tan_w = None
 
-    geo_n = jnp.cross(e1_t, e2_t)
-    geo_n = smv.normalize3(geo_n)
-    # orient both normals against the incoming ray (double-sided materials)
-    flip = jnp.sign(-smv.dot3(geo_n, ray_dir))[:, None]
-    flip = jnp.where(flip == 0.0, 1.0, flip)
-    geo_n = geo_n * flip
-    if normal is None:
-        normal = geo_n
-    else:
-        normal = jnp.where((smv.dot3(normal, geo_n) < 0.0)[:, None],
-                           -normal, normal)
-
-    pos = v0_t + e1_t * hit.u[:, None] + e2_t * hit.v[:, None]
+    pos = v0_t + e1_t * u_l + e2_t * v_l                    # (3, R)
 
     if gpu.tex_pages is not None and full_shading:
         # manual texture fetch (bindless sampling equivalent; gltf packs
@@ -281,39 +295,43 @@ def hit_attributes(ts: TraceScene, hit, ray_dir, mip: int = 0,
                           mip=mip, nearest=True)
         em = sample_pages(gpu.tex_pages, gpu.page_sub, slots[:, 3], uv,
                           mip=mip, nearest=True, srgb=True)
-        base_color = base_color * bc[:, :3]
+        base_color = base_color * bc[:, :3].T
         roughness = jnp.clip(roughness * mr[:, 1], 1e-3, 1.0)
         metallic = jnp.clip(metallic * mr[:, 2], 0.0, 1.0)
-        emissive = emissive * em[:, :3]
+        emissive = emissive * em[:, :3].T
         # tangent-space normal mapping (the reference applies material
         # normal maps via the vertex TBN; lanes without a normal texture or
         # tangents keep the interpolated normal)
         nm = sample_pages(gpu.tex_pages, gpu.page_sub, slots[:, 2], uv,
                           mip=mip, nearest=True)
-        tnorm = nm[:, :3] * 2.0 - 1.0
-        t_len = smv.norm3(tangent)[..., None]
-        t_ok = (t_len[:, 0] > 1e-4) & (slots[:, 2] > 0)
+        tnorm = nm[:, :3].T * 2.0 - 1.0                # (3, R)
+        t_len = jnp.sqrt(dot3_l(tangent, tangent))     # (1, R)
+        t_ok = (t_len[0] > 1e-4) & (slots[:, 2] > 0)
         t = tangent / jnp.maximum(t_len, 1e-8)
-        b = jnp.cross(normal, t) * tan_w[:, None]
-        n_mapped = (t * tnorm[:, 0:1] + b * tnorm[:, 1:2]
-                    + normal * tnorm[:, 2:3])
-        n_mapped = smv.normalize3(n_mapped)
+        # cross(normal, t) in lane-major components
+        b = jnp.concatenate([
+            normal[1:2] * t[2:3] - normal[2:3] * t[1:2],
+            normal[2:3] * t[0:1] - normal[0:1] * t[2:3],
+            normal[0:1] * t[1:2] - normal[1:2] * t[0:1]], axis=0)
+        b = b * tan_w[None, :]
+        n_mapped = t * tnorm[0:1] + b * tnorm[1:2] + normal * tnorm[2:3]
+        n_mapped = n_mapped / jnp.maximum(
+            jnp.sqrt(dot3_l(n_mapped, n_mapped)), 1e-12)
         if not no_normal_maps:      # RenderOverrides.no_normal_maps
-            normal = jnp.where(t_ok[:, None], n_mapped, normal)
+            normal = jnp.where(t_ok[None, :], n_mapped, normal)
 
     out = dict(
-        pos=pos,
-        normal=normal,
-        geo_normal=geo_n,
+        pos=pos.T,
+        normal=normal.T,
+        geo_normal=geo_n.T,
         uv=uv,
-        base_color=base_color,
+        base_color=base_color.T,
         metallic=metallic,
         roughness=roughness,
-        emissive=emissive,
+        emissive=emissive.T,
         material=mat,
     )
     if with_prev_pos:
-        e1p, e2p, v0p = ta[:, 18:21], ta[:, 21:24], ta[:, 24:27]
-        out["pos_prev"] = (v0p + e1p * hit.u[:, None]
-                           + e2p * hit.v[:, None])
+        e1p, e2p, v0p = ta[18:21], ta[21:24], ta[24:27]
+        out["pos_prev"] = (v0p + e1p * u_l + e2p * v_l).T
     return out
