@@ -181,11 +181,20 @@ def upsample_bilinear(img, out_h: int, out_w: int):
 
 def shift2d(img, dy: int, dx: int):
     """Shift with edge clamp (static offsets) — the building block of small
-    stencil filters (a-trous, box)."""
+    stencil filters (a-trous, box). Pad + slice, NOT an iota gather: the
+    gather form lowered to XLA's serial path (~3-4 ms per full-res tap on
+    v5e); pad+slice is pure data movement that fuses into consumers, and
+    edge-mode padding reproduces the index clamp exactly."""
     h, w = img.shape[0], img.shape[1]
-    ys = jnp.clip(jnp.arange(h) + dy, 0, h - 1)
-    xs = jnp.clip(jnp.arange(w) + dx, 0, w - 1)
-    return img[ys][:, xs]
+    # |shift| >= dim degenerates to broadcasting the edge row/col, which the
+    # clamped shift at dim-1 reproduces exactly
+    dy = max(-(h - 1), min(h - 1, dy))
+    dx = max(-(w - 1), min(w - 1, dx))
+    pw = [(max(-dy, 0), max(dy, 0)), (max(-dx, 0), max(dx, 0))]
+    if img.ndim == 3:
+        pw = pw + [(0, 0)]
+    y = jnp.pad(img, pw, mode="edge")
+    return y[max(dy, 0):max(dy, 0) + h, max(dx, 0):max(dx, 0) + w]
 
 
 def separable_blur(img, taps):
@@ -247,6 +256,25 @@ def interleave_rows(a, b):
 def interleave_cols(a, b):
     h, w = a.shape[0], a.shape[1]
     return jnp.stack([a, b], axis=2).reshape((h, 2 * w) + a.shape[2:])
+
+
+def phase_split(x):
+    """(H, W[, C]) -> nested [[p00, p01], [p10, p11]] half-res phase planes
+    (p[py][px][i, j] = x[2i+py, 2j+px]): ONE relayout reshape shared by all
+    four phases, vs four strided slices."""
+    h, w = x.shape[0], x.shape[1]
+    r = x.reshape((h // 2, 2, w // 2, 2) + x.shape[2:])
+    return [[r[:, py, :, px] for px in (0, 1)] for py in (0, 1)]
+
+
+def weave2x2(ph):
+    """Inverse of phase_split: 4 half-res phase planes -> (H, W[, C]) in a
+    single stack+reshape (one relayout; the old interleave_rows/cols chain
+    paid one per step per plane)."""
+    hh, hw = ph[0][0].shape[0], ph[0][0].shape[1]
+    rows = [jnp.stack(r, axis=2) for r in ph]    # (hh, hw, 2[, C])
+    x = jnp.stack(rows, axis=1)                  # (hh, 2, hw, 2[, C])
+    return x.reshape((2 * hh, 2 * hw) + ph[0][0].shape[2:])
 
 
 def half_to_full_taps(half):

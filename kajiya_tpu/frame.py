@@ -368,7 +368,8 @@ def init_reference_state(cfg: RenderConfig):
 
 def render_frame_reference(ts, state, view: ViewConstants, cfg: RenderConfig,
                            levels=None, num_bounces: int = 16,
-                           spp_per_frame: int = 1, max_spp: float = 1000.0):
+                           spp_per_frame: int = 1, max_spp: float = 1000.0,
+                           pixel_filter: bool = True):
     """One progressive reference-PT frame: trace spp_per_frame paths/pixel,
     blend into the accumulator (up to max_spp, as the reference's 1000-spp
     cap), then run the same post chain. Returns (new_state, outputs)."""
@@ -382,7 +383,7 @@ def render_frame_reference(ts, state, view: ViewConstants, cfg: RenderConfig,
         ts, view, cfg.width, cfg.height,
         frame_idx=state["refpt_samples"].astype(jnp.int32),
         spp_chunk=spp_per_frame, num_bounces=num_bounces,
-        max_trace_steps=cfg.max_trace_steps)
+        max_trace_steps=cfg.max_trace_steps, pixel_filter=pixel_filter)
 
     n = jnp.minimum(state["refpt_samples"], max_spp)
     accum = state["refpt_accum"] + (frame_radiance - state["refpt_accum"]) / (n + 1.0)

@@ -30,8 +30,12 @@ def converged_pair():
                        use_taa=False, use_motion_blur=False)
 
     rstate = init_reference_state(cfg)
+    # pixel_filter off: the hybrid g-buffer point-samples pixel centers
+    # (TAA off here), so an apples-to-apples comparison must not soften
+    # emitter edges in the PT image — the filter alone puts a |diff|~8 ring
+    # around the 20x emitter that dominates RMSE without any GI error
     rstep = jax.jit(lambda s: render_frame_reference(
-        ts, s, view, cfg, levels=levels, num_bounces=5))
+        ts, s, view, cfg, levels=levels, num_bounces=5, pixel_filter=False))
     for _ in range(48):
         rstate, rout = rstep(rstate)
     pt = np.asarray(rout["lit"])
