@@ -264,17 +264,19 @@ def lookup_irradiance(state, grid, pos, normal, eye, diffuse_env,
         grid = build_grid(state, eye, cfg)
     cas, in_range = _cascade_of(pos, eye, cfg)
     flat, ok, _ = _cell_of(pos, eye, cas, cfg)
-    entry = jnp.where(in_range & ok, grid[flat], -1)
+    entry = jnp.where(in_range & ok,
+                      grid.at[flat].get(mode="promise_in_bounds"), -1)
     has = entry >= 0
     se = jnp.maximum(entry, 0)
 
     # SH coeffs + lifetime packed into one 13-wide row -> ONE gather per
-    # query instead of three (XLA CSEs the pack across call sites)
+    # query instead of three (XLA CSEs the pack across call sites);
+    # promise_in_bounds skips XLA's per-index clamp logic
     e_total = state["ircache_sh"].shape[0]
     lut = jnp.concatenate([
         state["ircache_sh"].reshape(e_total, 12),
         state["ircache_life"][:, None]], axis=-1)
-    row = lut[se]                                    # (..., 13)
+    row = lut.at[se].get(mode="promise_in_bounds")   # (..., 13)
     sh = row[..., :12].reshape(row.shape[:-1] + (3, 4))
     n = normal
     # E(n)/pi = L00 Y00 + (2/3) sum L1m Y1m(n) — explicit slice math (a

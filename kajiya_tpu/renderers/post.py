@@ -95,9 +95,13 @@ def update_exposure(state, lit, dt: float = 1.0 / 60.0, speed: float = 2.5,
 
 def glare_pyramid(lit, levels: int = 6):
     """Downsample chain with gaussian prefilter, then reverse accumulate —
-    the `_blurN` / `_rev_blurN` pyramid pair (post.rs:24-108)."""
-    mips = [lit]
-    x = lit
+    the `_blurN` / `_rev_blurN` pyramid pair (post.rs:24-108).
+
+    Runs in bfloat16: the pyramid is pure data movement (its relayout
+    copies were ~8 ms of the post pass at 1080p f32) and glare is a 7%
+    blend of a heavily blurred image — 2^-8 rounding is invisible."""
+    x = lit.astype(jnp.bfloat16)
+    mips = [x]
     for _ in range(levels):
         if min(x.shape[0], x.shape[1]) < 4:
             break
@@ -106,8 +110,9 @@ def glare_pyramid(lit, levels: int = 6):
     # reverse: upsample and accumulate downward with equal weights
     acc = mips[-1]
     for m in reversed(mips[:-1]):
-        acc = _blur3(im.upsample_bilinear(acc, m.shape[0], m.shape[1])) * 0.6 + m * 0.4
-    return acc
+        acc = _blur3(im.upsample_bilinear(acc, m.shape[0], m.shape[1])
+                     .astype(jnp.bfloat16)) * 0.6 + m * 0.4
+    return acc.astype(jnp.float32)
 
 
 def _blur3(img):

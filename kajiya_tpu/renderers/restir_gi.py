@@ -191,6 +191,127 @@ def restir_diffuse(state, candidates, gb_h, reproj, frame_idx,
     return cur, _unpack(cur)
 
 
+VALIDATE_PERIOD = 3
+
+
+def validate_reservoirs(ts, state, gb_h, sky_env, diffuse_env, frame_idx,
+                        prev_lit=None, prev_depth=None, view=None,
+                        ircache_lookup=None, max_trace_steps=None,
+                        secondary_full_shading: bool = False):
+    """Quarter-res re-trace of stored GI reservoir rays
+    (`diffuse_validate.rgen.hlsl`, every 3rd frame, `rtdgi.rs:294`,
+    `gi-overview.md:163-177`): sample the stored ray again; where the
+    radiance disagrees,
+      * if the hit DISTANCE still matches (same surface, changed lighting):
+        replace the stored radiance, with the reference's firefly clamps on
+        M and W (diffuse_validate.rgen.hlsl:96-105);
+      * if the hit moved (occlusion change): only cut history and let
+        M-clamping re-weigh the stale sample.
+    Returns (new_state, invalidity) — invalidity (half-res, 0..1, the
+    smoothstep of relative radiance change) feeds the temporal filter's
+    history cut (role of temporal_validity_integrate.hlsl).
+
+    The ray origin is re-derived from the CURRENT g-buffer surface at the
+    reservoir's pixel (the reference keeps an explicit ray_orig_history;
+    after reprojection both name ~the same surface point)."""
+    from ..rt.trace import scene_trace_closest
+    from .hit_lighting import hit_radiance
+
+    RAY_EPS = 1e-4
+    hh, hw = state["gi_res_payload_t"].shape
+    pos_q = im.decimate2(gb_h["pos"])
+    gn_q = im.decimate2(gb_h["geo_normal"])
+    dir_q = im.decimate2(state["gi_res_payload_dir"])
+    rad_q = im.decimate2(state["gi_res_payload_radiance"])
+    t_q = im.decimate2(state["gi_res_payload_t"])
+    qh, qw = dir_q.shape[:2]
+
+    d = dir_q.reshape(-1, 3)
+    live = jnp.linalg.norm(d, axis=-1) > 0.5
+    d = jnp.where(live[:, None], d, jnp.array([0.0, 1.0, 0.0]))
+    org = pos_q.reshape(-1, 3) + gn_q.reshape(-1, 3) * RAY_EPS * 8
+    hit = scene_trace_closest(ts, org, d, t_min=RAY_EPS,
+                              max_steps=max_trace_steps)
+    fresh = hit_radiance(ts, hit, d, sky_env, diffuse_env,
+                         prev_lit=prev_lit, prev_depth=prev_depth, view=view,
+                         ircache_lookup=ircache_lookup,
+                         max_trace_steps=max_trace_steps,
+                         full_shading=secondary_full_shading)
+
+    old = rad_q.reshape(-1, 3)
+    # rad_diff/invalidity as in diffuse_validate.rgen.hlsl:81-82
+    rad_diff = jnp.linalg.norm(
+        jnp.abs(old - fresh) / jnp.maximum(1e-3, old + fresh), axis=-1)
+    inv_q = jnp.where(live, _smoothstep(0.1, 0.5, rad_diff / jnp.sqrt(3.0)),
+                      0.0)
+    t_new = jnp.minimum(hit.t, 1e8)
+    t_old = t_q.reshape(-1)
+    same_hit = (jnp.abs(t_new - t_old)
+                / jnp.maximum(2.0 * t_old, 1e-3)) < 0.2
+    mismatch = inv_q > 0.0
+
+    # scatter back to half res: only the top-left reservoir of each 2x2 was
+    # re-traced along ITS dir; neighbors only get their history cut
+    def up2(x):
+        r = jnp.repeat(jnp.repeat(x.reshape((qh, qw) + x.shape[1:]), 2, 0),
+                       2, 1)
+        return r[:hh, :hw]
+
+    inv_h = up2(inv_q)
+    block_replace = up2(mismatch & same_hit & live) > 0.0
+    block_occl = up2(mismatch & ~same_hit & live) > 0.0
+    rows = jnp.arange(hh)[:, None]
+    cols = jnp.arange(hw)[None, :]
+    traced_lane = (rows % 2 == 0) & (cols % 2 == 0)
+    # fresh payload only on the lane that was actually re-traced; its three
+    # 2x2 neighbors (stale dir/radiance) and all occlusion-changed lanes
+    # just get their history cut
+    replace = block_replace & traced_lane
+    cut_only = (block_replace & ~traced_lane) | block_occl
+
+    fresh_h = up2(fresh)
+    t_h = up2(t_new)
+    lum_old_h = luminance(state["gi_res_payload_radiance"])
+    lum_new_h = luminance(fresh_h)
+    ratio = lum_old_h / jnp.maximum(lum_new_h, 1e-8)
+    # p_hat = lum * cos: dir unchanged -> rescale by the luminance ratio
+    p_hat_new = jnp.where(lum_old_h > 1e-8,
+                          state["gi_res_p_hat"] / jnp.maximum(ratio, 1e-8),
+                          lum_new_h)
+
+    new = dict(state)
+    new["gi_res_payload_radiance"] = jnp.where(
+        replace[..., None], fresh_h, state["gi_res_payload_radiance"])
+    new["gi_res_payload_t"] = jnp.where(replace, t_h,
+                                        state["gi_res_payload_t"])
+    new["gi_res_p_hat"] = jnp.where(replace, p_hat_new,
+                                    state["gi_res_p_hat"])
+    # the reference's firefly clamps: M shrinks by the luminance ratio when
+    # the scene got brighter; W allows up to a 10x increment then dims
+    m_f = jnp.where(replace, jnp.clip(ratio, 0.03, 1.0), 1.0)
+    w_f = jnp.where(replace, jnp.clip(ratio * 10.0, 0.01, 1.0), 1.0)
+    new["gi_res_M"] = state["gi_res_M"] * m_f
+    new["gi_res_W"] = state["gi_res_W"] * w_f
+    # keep w_sum consistent with W = w_sum / (M * p_hat) on replaced lanes
+    new["gi_res_w_sum"] = jnp.where(
+        replace,
+        new["gi_res_M"] * new["gi_res_W"] * jnp.maximum(new["gi_res_p_hat"],
+                                                        0.0),
+        state["gi_res_w_sum"])
+    # occlusion-changed neighbors: proportional M cut re-weighs them fast
+    m_old = new["gi_res_M"]
+    factor = jnp.where(cut_only & (m_old > 1.0),
+                       1.0 / jnp.maximum(m_old, 1.0), 1.0)
+    new["gi_res_M"] = m_old * factor
+    new["gi_res_w_sum"] = new["gi_res_w_sum"] * factor
+    return new, inv_h
+
+
+def _smoothstep(lo, hi, x):
+    t = jnp.clip((x - lo) / (hi - lo), 0.0, 1.0)
+    return t * t * (3.0 - 2.0 * t)
+
+
 def resolve(reservoir, gb, near: float = 0.01):
     """Half-res reservoirs -> full-res E/pi (restir_resolve.hlsl): 4-tap
     joint-bilateral footprint; each reservoir contributes its unbiased

@@ -115,8 +115,30 @@ def rtdgi_pipeline(ts, gb, view, frame_idx, state, reproj, sky_env,
         max_trace_steps=max_trace_steps,
         secondary_full_shading=secondary_full_shading)
 
+    invalidity = None
     if use_restir and restir_state is not None:
+        import jax
+
         from . import restir_gi
+
+        # every-3rd-frame path validation (diffuse_validate.rgen.hlsl):
+        # re-trace stored reservoir rays at quarter res, replace/cut stale
+        # history BEFORE the temporal exchange
+        def do_validate(rs):
+            return restir_gi.validate_reservoirs(
+                ts, rs, gb_h, sky_env, diffuse_env, frame_idx,
+                prev_lit=prev_lit, prev_depth=prev_depth, view=view,
+                ircache_lookup=ircache_lookup,
+                max_trace_steps=max_trace_steps,
+                secondary_full_shading=secondary_full_shading)
+
+        def no_validate(rs):
+            hh, hw = rs["gi_res_payload_t"].shape
+            return rs, jnp.zeros((hh, hw), jnp.float32)
+
+        restir_state, invalidity = jax.lax.cond(
+            jnp.asarray(frame_idx) % restir_gi.VALIDATE_PERIOD == 0,
+            do_validate, no_validate, restir_state)
 
         res, new_restir_state = restir_gi.restir_diffuse(
             restir_state, candidates, gb_h, reproj, frame_idx,
@@ -135,6 +157,13 @@ def rtdgi_pipeline(ts, gb, view, frame_idx, state, reproj, sky_env,
     hist = fetched["h"]
     hist_len = fetched["l"]
     hist_len = jnp.minimum(hist_len * reproj["validity"] + 1.0, 24.0)
+    if invalidity is not None:
+        # validation invalidity cuts the temporal filter's history (role of
+        # temporal_validity_integrate.hlsl): a fully-invalidated pixel
+        # restarts accumulation instead of ghosting for 24 frames
+        inv_full = jnp.repeat(jnp.repeat(invalidity, 2, 0), 2, 1)[
+            :hist_len.shape[0], :hist_len.shape[1]]
+        hist_len = jnp.maximum(hist_len * (1.0 - inv_full), 1.0)
     alpha = (1.0 / hist_len)[..., None]
     out = hist * (1 - alpha) + full * alpha
 

@@ -310,36 +310,54 @@ def validate_reservoirs(ts, state, gb, sky_env, diffuse_env, frame_idx,
 
 def _resolve_full(spec_h, ray_len_h, gb, near: float = 0.01):
     """Half->full joint-bilateral resolve, roughness-aware (role of
-    `rtr/resolve.hlsl`'s BRDF-footprint gather) — gather-free phase weave.
-    Contact hardening: taps whose hit distance is much shorter than the
-    neighborhood's tighten the kernel (short rays = sharp contact
-    reflections; the reference drives this off its ray-len texture)."""
-    vz = near / jnp.maximum(gb["depth"], 1e-12)
-    vz_h = near / jnp.maximum(im.decimate2(gb["depth"]), 1e-12)
-    n_full = gb["normal"]
-    n_h = im.decimate2(gb["normal"])
+    `rtr/resolve.hlsl`'s BRDF-footprint gather). Contact hardening: taps
+    whose hit distance is much shorter than the neighborhood's tighten the
+    kernel (short rays = sharp contact reflections; the reference drives
+    this off its ray-len texture).
 
-    v_taps, weights = im.half_to_full_taps(spec_h)
-    t_taps, _ = im.half_to_full_taps(ray_len_h)
-    z_taps, _ = im.half_to_full_taps(vz_h)
-    n_taps, _ = im.half_to_full_taps(n_h)
+    PHASE-MAJOR like restir_gi.resolve: each output phase is computed at
+    half res from static +-1 shifts with constant bilinear weights, then
+    the finished planes are woven once (one relayout instead of 4 per tap
+    per input plane)."""
+    vz_ph = im.phase_split(near / jnp.maximum(gb["depth"], 1e-12))
+    n_ph = im.phase_split(gb["normal"])
+    vz_h = vz_ph[0][0]
+    n_h = n_ph[0][0]
 
-    t_center = t_taps[0]
-    acc = jnp.zeros_like(v_taps[0])
-    acct = jnp.zeros_like(t_taps[0])
-    accw = jnp.zeros_like(t_taps[0])
-    for v, t, zz, nn, bw in zip(v_taps, t_taps, z_taps, n_taps, weights):
-        w_z = jnp.exp(-jnp.abs(zz - vz) / (0.05 * vz + 1e-4))
-        w_n = jnp.maximum(jnp.sum(nn * n_full, axis=-1), 0.0) ** 16
-        # contact hardening: a tap with a much longer hit distance than the
-        # nearest tap must not blur into the contact region
-        w_t = 1.0 / (1.0 + 2.0 * jnp.abs(t - t_center)
-                     / (jnp.minimum(t, t_center) + 1e-3))
-        wt = bw * w_z * w_n * w_t + 1e-6
-        acc = acc + v * wt[..., None]
-        acct = acct + t * wt
-        accw = accw + wt
-    return acc / accw[..., None], acct / accw
+    out_v = [[None, None], [None, None]]
+    out_t = [[None, None], [None, None]]
+    for py in (0, 1):
+        for px in (0, 1):
+            vz = vz_ph[py][px]
+            nf = n_ph[py][px]
+            # tap (ky=py, kx=px) lands at shift (0, 0) = the center tap
+            t_center = ray_len_h
+            acc = jnp.zeros_like(spec_h)
+            acct = jnp.zeros_like(ray_len_h)
+            accw = jnp.zeros_like(ray_len_h)
+            for ky in (0, 1):
+                for kx in (0, 1):
+                    dy, dx = ky - 1 + py, kx - 1 + px
+                    bw = ((0.75 if ky != py else 0.25)
+                          * (0.75 if kx != px else 0.25))
+                    zz = im.shift2d(vz_h, dy, dx)
+                    nn = im.shift2d(n_h, dy, dx)
+                    t = im.shift2d(ray_len_h, dy, dx)
+                    v = im.shift2d(spec_h, dy, dx)
+                    w_z = jnp.exp(-jnp.abs(zz - vz) / (0.05 * vz + 1e-4))
+                    w_n = jnp.maximum(jnp.sum(nn * nf, axis=-1), 0.0) ** 16
+                    # contact hardening: a tap with a much longer hit
+                    # distance than the nearest must not blur into the
+                    # contact region
+                    w_t = 1.0 / (1.0 + 2.0 * jnp.abs(t - t_center)
+                                 / (jnp.minimum(t, t_center) + 1e-3))
+                    wt = bw * w_z * w_n * w_t + 1e-6
+                    acc = acc + v * wt[..., None]
+                    acct = acct + t * wt
+                    accw = accw + wt
+            out_v[py][px] = acc / accw[..., None]
+            out_t[py][px] = acct / accw
+    return im.weave2x2(out_v), im.weave2x2(out_t)
 
 
 def rtr_pipeline(ts, gb, view, frame_idx, state, reproj, sky_env, diffuse_env,
