@@ -299,16 +299,17 @@ def render_frame(ts, state, view: ViewConstants, cfg: RenderConfig,
             ssao=ao, debug_mode=cfg.debug_mode)
 
     # --- taa (temporal super-res)
+    taa_keys = ("taa_history", "taa_coverage", "taa_smooth_var",
+                "taa_velocity")
     if cfg.use_taa:
       with pass_scope("taa"):
         aa, taa_state = taa.taa(
-            lit, {"taa_history": state["taa_history"],
-                  "taa_valid": state["taa_valid"]},
-            reproj, view.sample_offset_pixels, cfg.out_height, cfg.out_width)
+            lit, {k: state[k] for k in taa_keys},
+            reproj, gb["depth"], view.sample_offset_pixels,
+            cfg.out_height, cfg.out_width)
     else:
         aa = lit
-        taa_state = {"taa_history": state["taa_history"],
-                     "taa_valid": state["taa_valid"]}
+        taa_state = {k: state[k] for k in taa_keys}
 
     # --- motion blur (taa -> motion blur -> post, world_render_passes order)
     if cfg.use_motion_blur:
