@@ -4,12 +4,18 @@ Mirrors the reference's scene model (`world_renderer.rs:153-167,604-858`):
 meshes are added once, instances reference a mesh with a transform, and
 emissive triangles become explicit lights (`world_renderer.rs:741-773`).
 
-The GPU-facing product is `GpuScene`: fixed-shape jnp arrays where geometry of
-all instances is concatenated (object-space) together with per-instance
-current/previous 3x4 transforms. World-space vertices are recomputed inside
-the jitted frame (`world_positions`) so animated transforms just work and the
-BVH can be refit per frame — the analog of the reference's per-frame TLAS
-rebuild (`world_renderer.rs:865-911`) done the XLA way.
+The GPU-facing product is `GpuScene`: fixed-shape jnp arrays. TRUE INSTANCING
+(the BLAS/TLAS split of `vulkan/ray_tracing.rs:171-275`): vertex/attribute
+tables are stored ONCE per unique mesh (object space) — N instances of a mesh
+cost O(1) vertex memory. Only the per-TRIANGLE index tables (tri_idx /
+tri_mat / tri_inst, 3 int32s each) replicate per instance, referencing the
+shared vertex block plus a per-instance 3x4 transform. World-space triangle
+corners are recomputed inside the jitted frame with a per-corner transform
+(`triangle_corners`) so animated transforms just work and the BVH can be
+refit per frame — the analog of the reference's per-frame TLAS rebuild
+(`world_renderer.rs:865-911`) done the XLA way; shading normals/tangents stay
+object-space and are rotated at hit time (the reference's object->world hit
+shading, `gbuffer.rchit.hlsl`).
 """
 from __future__ import annotations
 
@@ -73,12 +79,11 @@ class GpuScene:
     """All per-scene device arrays. Geometry is object-space; transforms are
     per-instance and may be updated every frame without rebuilding."""
 
-    verts_obj: Any        # (V, 3) f32 object-space positions (per-instance copy)
+    verts_obj: Any        # (V, 3) f32 object-space positions (per UNIQUE mesh)
     normals_obj: Any      # (V, 3) f32 object-space normals
     tangents_obj: Any     # (V, 4) f32 object-space tangent + handedness w
     uvs: Any              # (V, 2) f32
-    vert_inst: Any        # (V,) i32 instance id per vertex
-    tri_idx: Any          # (T, 3) i32 vertex indices
+    tri_idx: Any          # (T, 3) i32 indices into the shared vertex block
     tri_mat: Any          # (T,) i32 material id (global table)
     tri_inst: Any         # (T,) i32 instance id
     xforms: Any           # (I, 3, 4) f32 current object->world
@@ -97,7 +102,7 @@ class GpuScene:
     page_sub: Any = None     # (P, 4) i32 [page, size, ox, oy] subregion table
 
     _FIELDS = (
-        "verts_obj", "normals_obj", "tangents_obj", "uvs", "vert_inst", "tri_idx", "tri_mat",
+        "verts_obj", "normals_obj", "tangents_obj", "uvs", "tri_idx", "tri_mat",
         "tri_inst", "xforms", "xforms_prev", "mat_base_color", "mat_emissive",
         "mat_metallic", "mat_roughness", "light_tri", "num_lights",
         "sun_direction", "sun_radiance", "sun_angular_radius",
@@ -115,36 +120,31 @@ class GpuScene:
     def num_triangles(self):
         return self.tri_idx.shape[0]
 
-    def world_positions(self):
-        """(V, 3) world-space vertex positions under current transforms (traced)."""
-        xf = self.xforms[self.vert_inst]          # (V, 3, 4)
-        return jnp.einsum("vij,vj->vi", xf[:, :, :3], self.verts_obj) + xf[:, :, 3]
+    def triangle_corners(self, xforms=None):
+        """(v0, e1, e2): (T, 3) world-space Moller-Trumbore corners under the
+        given transforms (default current). Vertices are SHARED across
+        instances, so the object->world transform applies per triangle corner
+        (the instance step of the reference's TLAS, `ray_tracing.rs:171-275`)
+        — batched FMAs, no per-instance vertex copies."""
+        xf = (self.xforms if xforms is None else xforms)[self.tri_inst]
+        rot, trans = xf[:, :, :3], xf[:, :, 3]
 
-    def world_positions_prev(self):
-        xf = self.xforms_prev[self.vert_inst]
-        return jnp.einsum("vij,vj->vi", xf[:, :, :3], self.verts_obj) + xf[:, :, 3]
+        def tf(p):
+            return jnp.einsum("tij,tj->ti", rot, p) + trans
 
-    def world_tangents(self):
-        """(V, 4) world-space unit tangents (w = handedness preserved)."""
-        xf = self.xforms[self.vert_inst]
-        t = jnp.einsum("vij,vj->vi", xf[:, :, :3], self.tangents_obj[:, :3])
-        t = t / jnp.maximum(jnp.linalg.norm(t, axis=-1, keepdims=True), 1e-8)
-        return jnp.concatenate([t, self.tangents_obj[:, 3:4]], axis=-1)
-
-    def world_normals(self):
-        """(V, 3) world-space unit normals (assumes uniform-ish scale; exact for
-        rotations — the common case; matches the reference's normal handling)."""
-        xf = self.xforms[self.vert_inst]
-        n = jnp.einsum("vij,vj->vi", xf[:, :, :3], self.normals_obj)
-        return n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-8)
-
-    def triangle_corners(self, world_pos=None):
-        """Returns (v0, e1, e2): (T,3) each, precomputed for Moller-Trumbore."""
-        wp = self.world_positions() if world_pos is None else world_pos
-        v0 = wp[self.tri_idx[:, 0]]
-        v1 = wp[self.tri_idx[:, 1]]
-        v2 = wp[self.tri_idx[:, 2]]
+        v0 = tf(self.verts_obj[self.tri_idx[:, 0]])
+        v1 = tf(self.verts_obj[self.tri_idx[:, 1]])
+        v2 = tf(self.verts_obj[self.tri_idx[:, 2]])
         return v0, v1 - v0, v2 - v0
+
+    def instance_rotations(self):
+        """(I, 3, 3) orthonormalized rotation part of each transform, for
+        rotating object-space shading normals/tangents to world at hit time
+        (column-normalized — exact for rotation + uniform scale, matching
+        the reference's normal handling)."""
+        r = self.xforms[:, :, :3]
+        n = jnp.maximum(jnp.sqrt((r * r).sum(axis=1, keepdims=True)), 1e-12)
+        return r / n
 
 
 def build_gpu_scene(scene: Scene, max_lights: int = 4096,
@@ -166,16 +166,19 @@ def build_gpu_scene(scene: Scene, max_lights: int = 4096,
 
 def _build_gpu_scene(scene: Scene, max_lights: int = 4096,
                      with_textures: bool = True) -> GpuScene:
-    verts, normals, tangents, uvs, vert_inst = [], [], [], [], []
     tri_idx, tri_mat, tri_inst = [], [], []
     materials = []
     mesh_mat_offset = []
+    mesh_voff = []
+    voff = 0
     # global texture page table: dedupe image sources across meshes
     # (the bindless image registry, `world_renderer.rs:541-602`)
     img_src, img_slot = [], {}
     mat_tex_rows = []
     for mesh in scene.meshes:
         mesh_mat_offset.append(len(materials))
+        mesh_voff.append(voff)
+        voff += mesh.num_vertices
         materials.extend(mesh.materials)
         paths = getattr(mesh, "image_paths", [])
         for m in mesh.materials:
@@ -192,20 +195,19 @@ def _build_gpu_scene(scene: Scene, max_lights: int = 4096,
                     row.append(0)
             mat_tex_rows.append(row)
 
-    voff = 0
+    # vertex/attribute tables once per UNIQUE mesh (the BLAS analog);
+    # per-instance cost is 3 int32 triangle tables + one 3x4 transform
+    verts = np.concatenate([m.positions for m in scene.meshes])
+    normals = [m.normals for m in scene.meshes]
+    tangents = [m.tangents for m in scene.meshes]
+    uvs = [m.uvs for m in scene.meshes]
+
     for inst_id, inst in enumerate(scene.instances):
         mesh = scene.meshes[inst.mesh_id]
-        verts.append(mesh.positions)
-        normals.append(mesh.normals)
-        tangents.append(mesh.tangents)
-        uvs.append(mesh.uvs)
-        vert_inst.append(np.full(mesh.num_vertices, inst_id, np.int32))
-        tri_idx.append(mesh.indices.astype(np.int64) + voff)
+        tri_idx.append(mesh.indices.astype(np.int64) + mesh_voff[inst.mesh_id])
         tri_mat.append(mesh.material_ids.astype(np.int64) + mesh_mat_offset[inst.mesh_id])
         tri_inst.append(np.full(mesh.num_triangles, inst_id, np.int32))
-        voff += mesh.num_vertices
 
-    verts = np.concatenate(verts)
     tri_idx = np.concatenate(tri_idx).astype(np.int32)
     tri_mat = np.concatenate(tri_mat).astype(np.int32)
 
@@ -243,7 +245,6 @@ def _build_gpu_scene(scene: Scene, max_lights: int = 4096,
         normals_obj=jnp.asarray(np.concatenate(normals), jnp.float32),
         tangents_obj=jnp.asarray(np.concatenate(tangents), jnp.float32),
         uvs=jnp.asarray(np.concatenate(uvs), jnp.float32),
-        vert_inst=jnp.asarray(np.concatenate(vert_inst), jnp.int32),
         tri_idx=jnp.asarray(tri_idx),
         tri_mat=jnp.asarray(tri_mat),
         tri_inst=jnp.asarray(np.concatenate(tri_inst), jnp.int32),

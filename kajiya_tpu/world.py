@@ -39,7 +39,7 @@ class TraceScene:
     v0: Any
     e1: Any
     e2: Any
-    vnormals: Any       # (V, 3) world-space vertex normals
+    inst_rot: Any       # (I, 9) row-major rotation per instance (normals)
     light_v0: Any       # (L, 3) emissive triangle corners (world)
     light_e1: Any
     light_e2: Any
@@ -47,10 +47,10 @@ class TraceScene:
     light_emission: Any  # (L, 3)
     light_normal: Any = None   # (L, 3) unit normals (precomputed)
     woop: Any = None    # dict from ops.woop.build_woop, or None (BVH path)
-    tri_attrs: Any = None   # (T, 18) consolidated per-triangle attributes
-    vert_attrs: Any = None  # (V, 9) normal(3) + uv(2) + tangent(4)
+    tri_attrs: Any = None   # (T, 31) consolidated per-triangle attributes
+    vert_attrs: Any = None  # (V, 9) OBJECT-space normal(3) + uv(2) + tangent(4)
 
-    _F = ("gpu", "bvh", "v0", "e1", "e2", "vnormals",
+    _F = ("gpu", "bvh", "v0", "e1", "e2", "inst_rot",
           "light_v0", "light_e1", "light_e2", "light_area", "light_emission",
           "light_normal", "woop", "tri_attrs", "vert_attrs")
 
@@ -141,10 +141,8 @@ def refresh_trace_scene(gpu: GpuScene, bvh: Bvh, levels,
             use_brute = levels.get("use_brute")
         levels = levels["levels"]
 
-    wp = gpu.world_positions()
-    v0, e1, e2 = gpu.triangle_corners(wp)
+    v0, e1, e2 = gpu.triangle_corners()
     bvh = refit_bvh(bvh, levels, v0, e1, e2)
-    vnormals = gpu.world_normals()
     if use_brute is None:
         use_brute = gpu.num_triangles <= CULLED_BRUTE_MAX_TRIS
     woop = None
@@ -175,10 +173,7 @@ def refresh_trace_scene(gpu: GpuScene, bvh: Bvh, levels,
     mt = gpu.tri_mat
     # previous-frame corners ride the same wide row (velocity needs them;
     # widening the fetch is ~free vs separate per-pixel vertex gathers)
-    wp_prev = gpu.world_positions_prev()
-    v0p = wp_prev[gpu.tri_idx[:, 0]]
-    e1p = wp_prev[gpu.tri_idx[:, 1]] - v0p
-    e2p = wp_prev[gpu.tri_idx[:, 2]] - v0p
+    v0p, e1p, e2p = gpu.triangle_corners(gpu.xforms_prev)
     # unit geometric normal precomputed PER TRIANGLE: the per-pixel
     # cross+normalize it replaces cost ~17 ms/frame at 1080p (three fused
     # re-reads of the wide attribute fetch)
@@ -193,9 +188,15 @@ def refresh_trace_scene(gpu: GpuScene, bvh: Bvh, levels,
         mt[:, None].astype(jnp.float32),
         e1p, e2p, v0p,
         g_n,
-    ], axis=-1)                                           # (T, 30)
+        gpu.tri_inst[:, None].astype(jnp.float32),
+    ], axis=-1)                                           # (T, 31)
+    # vertex attributes stay OBJECT-space (shared across instances — true
+    # instancing); hit_attributes rotates normals/tangents to world with
+    # the per-hit instance rotation, the reference's object->world hit
+    # shading (gbuffer.rchit.hlsl)
     vert_attrs = jnp.concatenate(
-        [vnormals, gpu.uvs, gpu.world_tangents()], axis=-1)      # (V, 9)
+        [gpu.normals_obj, gpu.uvs, gpu.tangents_obj], axis=-1)   # (V, 9)
+    inst_rot = gpu.instance_rotations().reshape(-1, 9)
 
     lt = jnp.maximum(gpu.light_tri, 0)
     lv0, le1, le2 = v0[lt], e1[lt], e2[lt]
@@ -206,7 +207,7 @@ def refresh_trace_scene(gpu: GpuScene, bvh: Bvh, levels,
     emission = gpu.mat_emissive[gpu.tri_mat[lt]]
     live = (gpu.light_tri >= 0)[:, None]
     return TraceScene(
-        gpu=gpu, bvh=bvh, v0=v0, e1=e1, e2=e2, vnormals=vnormals,
+        gpu=gpu, bvh=bvh, v0=v0, e1=e1, e2=e2, inst_rot=inst_rot,
         light_v0=lv0, light_e1=le1, light_e2=le2,
         light_area=jnp.where(live[:, 0], area, 0.0),
         light_emission=jnp.where(live, emission, 0.0),
@@ -226,7 +227,7 @@ def hit_attributes(ts: TraceScene, hit, ray_dir, mip: int = 0,
     `mip` selects the texture mip (primary rays 0; secondary rays pass a
     coarser level — the ray-cone LOD role of `inc/ray_cone.hlsl`).
 
-    Internals are LANE-MAJOR (C, R): the attribute fetch lands as (30, R)
+    Internals are LANE-MAJOR (C, R): the attribute fetch lands as (31, R)
     dense rows (ops/gather.py::fetch_rows_t — small scenes skip the serial
     gather via a fused one-hot MXU matmul) and all math stays in (3, R)
     planes; outputs transpose to the (R, C) convention at the end, which
@@ -235,7 +236,7 @@ def hit_attributes(ts: TraceScene, hit, ray_dir, mip: int = 0,
 
     gpu = ts.gpu
     tri = jnp.maximum(hit.tri, 0)
-    ta = fetch_rows_t(ts.tri_attrs, tri)                    # (30, R)
+    ta = fetch_rows_t(ts.tri_attrs, tri)                    # (31, R)
     e1_t, e2_t, v0_t = ta[0:3], ta[3:6], ta[6:9]
     base_color = ta[9:12]
     metallic = ta[12]
@@ -267,11 +268,24 @@ def hit_attributes(ts: TraceScene, hit, ray_dir, mip: int = 0,
         idx = take_rows(gpu.tri_idx, tri)                   # (R, 3)
         va = interp3_rows_t(ts.vert_attrs, idx[:, 0], idx[:, 1], idx[:, 2],
                             w, hit.u, hit.v)                # (9, R)
-        nrm = va[0:3]
+        # vertex attrs are OBJECT-space (shared across instances): rotate
+        # by the hit instance's rotation — a tiny one-hot fetch of the
+        # (I, 9) rotation table + 9 fused FMAs per lane
+        inst = jnp.round(ta[30]).astype(jnp.int32)
+        rot = fetch_rows_t(ts.inst_rot, inst)               # (9, R)
+
+        def rot3_l(v):
+            return jnp.concatenate([
+                rot[0:1] * v[0:1] + rot[1:2] * v[1:2] + rot[2:3] * v[2:3],
+                rot[3:4] * v[0:1] + rot[4:5] * v[1:2] + rot[5:6] * v[2:3],
+                rot[6:7] * v[0:1] + rot[7:8] * v[1:2] + rot[8:9] * v[2:3],
+            ], axis=0)
+
+        nrm = rot3_l(va[0:3])
         nrm = nrm / jnp.maximum(jnp.sqrt(dot3_l(nrm, nrm)), 1e-12)
         normal = jnp.where(dot3_l(nrm, geo_n) < 0.0, -nrm, nrm)
         uv = va[3:5].T
-        tangent = va[5:8]
+        tangent = rot3_l(va[5:8])
         tan_w = va[8]
     else:
         normal = geo_n

@@ -40,15 +40,16 @@ class TestProcedural:
         gpu = build_gpu_scene(scene)
         assert gpu.num_triangles == 32
         assert int(gpu.num_lights) == 2  # the 2 light-quad triangles
-        wp = np.asarray(gpu.world_positions())
-        assert wp.min() >= -1.001 and wp.max() <= 1.001
+        v0, e1, e2 = (np.asarray(t) for t in gpu.triangle_corners())
+        corners = np.concatenate([v0, v0 + e1, v0 + e2])
+        assert corners.min() >= -1.001 and corners.max() <= 1.001
 
     def test_world_positions_transform(self):
         scene = procedural.single_triangle()
         scene.instances[0].position = np.array([5, 0, 0], np.float32)
         gpu = build_gpu_scene(scene)
-        wp = np.asarray(gpu.world_positions())
-        assert np.allclose(wp[:, 0].mean(), 5.0, atol=1.0)
+        v0, e1, e2 = (np.asarray(t) for t in gpu.triangle_corners())
+        assert np.allclose(v0[:, 0].mean(), 5.0, atol=1.0)
 
     def test_triangle_corners(self):
         gpu = build_gpu_scene(procedural.single_triangle())
