@@ -39,26 +39,39 @@ _Y1 = 0.48860251
 
 @dataclass(frozen=True)
 class IrcacheConfig:
-    """Static configuration (shapes!). Defaults sized for interactive scenes;
-    the reference uses 12 cascades x 32^3 and 64Ki entries."""
+    """Static configuration (shapes!). Capacity follows the reference scale
+    (`ircache.rs:26-36`): 64Ki entries, 8 cascades x 32^3 clipmap (reference:
+    12 x 32^3); the per-frame ray cost is bounded by `active_budget` — the
+    reference's own typical active set is <=16k entries
+    (`gi-overview.md:461-464`), and entries beyond the budget are traced
+    round-robin across frames."""
 
-    cascades: int = 4
+    cascades: int = 8
     grid_res: int = 32          # cells per cascade side
-    max_entries: int = 16384
+    max_entries: int = 65536    # `ircache.rs:30` MAX_ENTRIES = 64Ki
     rays_per_entry: int = 4     # `ircache.rs:35` IRCACHE_SAMPLES_PER_FRAME
     base_cell_size: float = 0.25
     expire_frames: int = 60     # unseen-for-N-frames entries are recycled
     hysteresis_frames: float = 32.0
+    active_budget: int = 16384  # entries traced per frame (round-robin)
+    validate_period: int = 3    # stored-ray re-trace cadence (frames)
+    validate_rel: float = 0.5   # per-ray relative-luminance mismatch cut
+    reposition_rate: float = 0.25  # voted nudge toward query points / frame
 
 
 def init_state(cfg: IrcacheConfig):
-    e = cfg.max_entries
+    e, s = cfg.max_entries, cfg.rays_per_entry
     return {
         "ircache_pos": jnp.zeros((e, 3), jnp.float32),
         "ircache_sh": jnp.zeros((e, 3, 4), jnp.float32),   # RGB x (Y00,Y1-1,Y10,Y11)
         "ircache_life": jnp.zeros((e,), jnp.float32),      # frames of history
         "ircache_seen": jnp.full((e,), -(10 ** 6), jnp.int32),  # last-query frame
         "ircache_valid": jnp.zeros((e,), bool),
+        # last trace's rays, kept for the every-Nth-frame validation re-trace
+        # (`ircache_validate.rgen.hlsl` re-traces stored sample directions and
+        # cuts history on mismatch)
+        "ircache_ray_dir": jnp.zeros((e, s, 3), jnp.float32),
+        "ircache_ray_rad": jnp.zeros((e, s, 3), jnp.float32),
     }
 
 
@@ -163,17 +176,36 @@ def allocate(state, grid, query_pos, query_mask, eye, frame_idx,
     writes = src_q >= 0
     sq = jnp.maximum(src_q, 0)
 
-    # seed the probe AT the query point (the reference converges entries onto
-    # geometry via ranked voting; seeding on-surface starts there directly)
+    # seed the probe AT the query point (new entries start on-surface)
     pos = jnp.where(writes[:, None], query_pos[sq], state["ircache_pos"])
     sh = jnp.where(writes[:, None, None], 0.0, state["ircache_sh"])
     life = jnp.where(writes, 0.0, state["ircache_life"])
     seen = jnp.where(writes, fi, seen)
     valid = jnp.where(writes, True, state["ircache_valid"] & ~expired)
+    # a recycled slot must not validate against its previous occupant's rays
+    ray_dir = jnp.where(writes[:, None, None], 0.0, state["ircache_ray_dir"])
+    ray_rad = jnp.where(writes[:, None, None], 0.0, state["ircache_ray_rad"])
+
+    # --- reposition voting (`gi-overview.md:270-300` ranked votes): existing
+    # entries drift toward the cell's winning query point, so a probe keeps
+    # tracking the surface its cell is actually shading as geometry/views
+    # move. One scatter-max elects the vote; rate-limited nudge applies it.
+    vote_grid = jnp.full((n_cells,), -1, jnp.int32)
+    vote_grid = vote_grid.at[jnp.where(touch, flat, 0)].max(
+        jnp.where(touch, qid, -1), mode="promise_in_bounds")
+    ecas, e_in = _cascade_of(pos, eye, cfg)
+    eflat, e_ok, _ = _cell_of(pos, eye, ecas, cfg)
+    vq = jnp.where(valid & e_in & e_ok,
+                   vote_grid.at[eflat].get(mode="promise_in_bounds"), -1)
+    has_vote = (vq >= 0) & ~writes
+    target = query_pos[jnp.maximum(vq, 0)]
+    r = cfg.reposition_rate
+    pos = jnp.where(has_vote[:, None], pos * (1.0 - r) + target * r, pos)
 
     return {
         "ircache_pos": pos, "ircache_sh": sh, "ircache_life": life,
         "ircache_seen": seen, "ircache_valid": valid,
+        "ircache_ray_dir": ray_dir, "ircache_ray_rad": ray_rad,
     }
 
 
@@ -184,8 +216,24 @@ def allocate(state, grid, query_pos, query_mask, eye, frame_idx,
 def trace_update(state, ts, sky_env, diffuse_env, eye, frame_idx,
                  cfg: IrcacheConfig, max_trace_steps=None,
                  secondary_full_shading: bool = False):
-    """Trace rays_per_entry uniform-sphere rays per live entry and blend the
-    SH estimate ('trace irradiance' + 'sum up irradiance' passes).
+    """Trace rays_per_entry uniform-sphere rays for up to `active_budget`
+    live entries and blend their SH estimates ('trace irradiance' + 'sum up
+    irradiance' passes).
+
+    Budgeting: a prefix-scan compaction picks the frame's active subset with
+    a round-robin offset, so when more than `active_budget` entries are live
+    every entry is still refreshed within ceil(live/budget) frames while the
+    per-frame ray wavefront stays a fixed (budget * S) shape — the TPU
+    analog of the reference's dispatch-indirect entry list
+    (`prepare_trace_dispatch_args.hlsl`).
+
+    Validation: every `validate_period` frames the traced directions are the
+    PREVIOUS trace's stored directions instead of fresh ones; a large
+    per-ray relative luminance change against the stored radiance means the
+    lighting changed, and the entry's history is cut so the new estimate
+    takes over within a few frames (`ircache_validate.rgen.hlsl`'s
+    invalidation, at zero extra rays — the re-trace doubles as the regular
+    irradiance sample).
 
     The hit lighting's ambient term reads the CURRENT cache arrays (i.e. last
     frame's irradiance) — the temporal recurrence that makes bounces
@@ -194,24 +242,48 @@ def trace_update(state, ts, sky_env, diffuse_env, eye, frame_idx,
     from ..rt.trace import scene_trace_closest
 
     e, s = cfg.max_entries, cfg.rays_per_entry
-    pos = state["ircache_pos"]
+    b = min(cfg.active_budget, e)
     live = state["ircache_valid"]
+    fi = jnp.asarray(frame_idx, jnp.int32)
 
-    # one flat wavefront of E*S rays (static shape; dead lanes masked).
+    # --- active-set compaction (one cumsum = the reference's GPU scan)
+    rank = jnp.cumsum(live.astype(jnp.int32)) - 1            # (E,)
+    n_live = jnp.maximum(rank[-1] + 1, 1)
+    offset = (fi * b) % n_live                                # round-robin
+    slot = jnp.where(live, (rank - offset) % n_live, b)       # (E,)
+    sel = live & (slot < b)
+    ids = jnp.arange(e, dtype=jnp.int32)
+    lst = jnp.full((b,), -1, jnp.int32)
+    lst = lst.at[jnp.where(sel, slot, 0)].max(
+        jnp.where(sel, ids, -1), mode="promise_in_bounds")    # (B,) entry ids
+    alive_b = lst >= 0
+    eidx = jnp.maximum(lst, 0)                                # (B,)
+    pos_b = state["ircache_pos"][eidx]                        # (B, 3)
+
+    # one flat wavefront of B*S rays (static shape; dead lanes masked).
     # broadcast+reshape instead of repeat/tile: identical semantics, but
     # repeat/tile lower to gather-style HLO that feeds the TPU backend's
     # crashing fusion path (see the barrier notes below)
-    eid_r = jax.lax.broadcasted_iota(jnp.uint32, (e, s), 0).reshape(-1)
-    sid_r = jax.lax.broadcasted_iota(jnp.uint32, (e, s), 1).reshape(-1)
+    eid_r = jnp.broadcast_to(eidx.astype(jnp.uint32)[:, None],
+                             (b, s)).reshape(-1)
+    sid_r = jax.lax.broadcasted_iota(jnp.uint32, (b, s), 1).reshape(-1)
     rngs = rng_mod.hash3(eid_r, jnp.uint32(frame_idx), sid_r)
     u1, rngs = rng_mod.rand_u01(rngs)
     u2, rngs = rng_mod.rand_u01(rngs)
-    d = uniform_sphere(u1, u2)                       # (E*S, 3)
-    o = jnp.broadcast_to(pos[:, None, :], (e, s, 3)).reshape(-1, 3) + d * 1e-3
-    live_r = jnp.broadcast_to(live[:, None], (e, s)).reshape(-1)
+    d_fresh = uniform_sphere(u1, u2)                          # (B*S, 3)
+
+    # validation frames re-trace the stored directions (where one exists)
+    d_stored = state["ircache_ray_dir"][eidx].reshape(-1, 3)  # (B*S, 3)
+    validate = (fi % cfg.validate_period) == 0
+    has_stored = jnp.sum(d_stored * d_stored, axis=-1) > 0.25
+    use_stored = validate & has_stored
+    d = jnp.where(use_stored[:, None], d_stored, d_fresh)
+
+    o = jnp.broadcast_to(pos_b[:, None, :], (b, s, 3)).reshape(-1, 3) + d * 1e-3
+    live_r = jnp.broadcast_to(alive_b[:, None], (b, s)).reshape(-1)
 
     hit = scene_trace_closest(ts, o, d, t_min=1e-4,
-                        max_steps=max_trace_steps)
+                              max_steps=max_trace_steps)
 
     # ambient at the hit comes from the cache itself (previous frame's SH)
     grid = build_grid(state, eye, cfg)
@@ -227,17 +299,43 @@ def trace_update(state, ts, sky_env, diffuse_env, eye, frame_idx,
     # fusion fence (see barrier note below)
     rad, d = jax.lax.optimization_barrier((rad, d))
 
+    # --- validation verdict: per-ray relative luminance mismatch
+    old_rad = state["ircache_ray_rad"][eidx].reshape(-1, 3)   # (B*S, 3)
+    lum = jnp.array([0.2126, 0.7152, 0.0722], jnp.float32)
+    l_new = rad @ lum
+    l_old = old_rad @ lum
+    rel = jnp.abs(l_new - l_old) / jnp.maximum(
+        jnp.maximum(l_new, l_old), 1e-3)
+    mism = (use_stored & (rel > cfg.validate_rel)).reshape(b, s)
+    checked = use_stored.reshape(b, s)
+    # cut history when >=half the checked rays disagree (single-ray noise at
+    # silhouettes must not flush a converged probe)
+    n_checked = checked.sum(axis=1)
+    cut = alive_b & (n_checked > 0) & (
+        mism.sum(axis=1) * 2 >= jnp.maximum(n_checked, 1))
+
     # project onto SH: L_lm = (4pi / S) * sum radiance * Y_lm(d)
     y = jnp.stack([jnp.full_like(d[:, 0], _Y00),
                    _Y1 * d[:, 1], _Y1 * d[:, 2], _Y1 * d[:, 0]], axis=-1)
-    contrib = rad[:, :, None] * y[:, None, :]        # (E*S, 3, 4)
-    sh_new = contrib.reshape(e, s, 3, 4).sum(axis=1) * (4.0 * jnp.pi / s)
+    contrib = rad[:, :, None] * y[:, None, :]                 # (B*S, 3, 4)
+    sh_new = contrib.reshape(b, s, 3, 4).sum(axis=1) * (4.0 * jnp.pi / s)
 
-    life = jnp.where(live, jnp.minimum(state["ircache_life"] + 1.0,
-                                       cfg.hysteresis_frames), 0.0)
-    alpha = (1.0 / jnp.maximum(life, 1.0))[:, None, None]
-    sh = state["ircache_sh"] * (1 - alpha) + sh_new * alpha
+    life_b = state["ircache_life"][eidx]                      # (B,)
+    life_b = jnp.where(cut, jnp.minimum(life_b, 2.0), life_b)
+    life_b = jnp.minimum(life_b + 1.0, cfg.hysteresis_frames)
+    alpha = (1.0 / jnp.maximum(life_b, 1.0))[:, None, None]
+    sh_b = state["ircache_sh"][eidx] * (1 - alpha) + sh_new * alpha
+
+    # --- scatter the traced subset back (drop-mode index E for dead lanes)
+    widx = jnp.where(alive_b, eidx, e)
+    sh = state["ircache_sh"].at[widx].set(sh_b, mode="drop")
+    life = state["ircache_life"].at[widx].set(life_b, mode="drop")
     sh = jnp.where(live[:, None, None], sh, 0.0)
+    life = jnp.where(live, life, 0.0)
+    ray_dir = state["ircache_ray_dir"].at[widx].set(
+        d.reshape(b, s, 3), mode="drop")
+    ray_rad = state["ircache_ray_rad"].at[widx].set(
+        rad.reshape(b, s, 3), mode="drop")
 
     # fence the cache-update subgraph: the TPU backend's priority-fusion
     # cost model has been observed to crash (SIGILL) when this wavefront is
@@ -247,6 +345,8 @@ def trace_update(state, ts, sky_env, diffuse_env, eye, frame_idx,
     out = dict(state)
     out["ircache_sh"] = sh
     out["ircache_life"] = life
+    out["ircache_ray_dir"] = ray_dir
+    out["ircache_ray_rad"] = ray_rad
     return out
 
 

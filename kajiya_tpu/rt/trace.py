@@ -158,7 +158,21 @@ def trace_shadow(bvh, tris, org, d, t_min=1e-4, t_max=INF, max_steps=None):
 # ----------------------------------------------------------------------------
 
 def _use_pallas(ts) -> bool:
-    return jax.devices()[0].platform == "tpu"
+    """Pallas iff the scene's arrays live on (or the jit targets) TPU.
+
+    Derived from the woop table's actual placement, not global device order:
+    scene build runs eagerly on the CPU backend (`world.py::build_trace_scene`)
+    while the frame jit targets the accelerator, so `jax.devices()[0]` says
+    nothing about where *these* arrays are. Inside jit the arrays are tracers
+    with no committed device — there the jit's backend (default) decides."""
+    arr = ts.woop["a_d"] if isinstance(ts.woop, dict) else None
+    devices = getattr(arr, "devices", None)
+    if callable(devices):
+        try:
+            return all(d.platform == "tpu" for d in devices())
+        except Exception:
+            pass  # tracer under jit: fall through to the jit's backend
+    return jax.default_backend() == "tpu"
 
 
 def scene_trace_closest(ts, org, d, t_min=1e-4, t_max=INF, max_steps=None) -> Hit:
