@@ -433,11 +433,35 @@ class Renderer:
         from .ops.hoist import jit_hoisted
 
         self._frame = jit_hoisted(_frame)
+        self._last_good = None
+        self._last_error = None
 
     def draw(self, view: ViewConstants):
-        """Render one frame, advancing temporal state. Returns outputs dict."""
-        self.state, outputs = self._frame(self.ts, self.state, view)
-        return outputs
+        """Render one frame, advancing temporal state. Returns outputs dict.
+
+        A jit/compile failure must not kill the interactive loop: the
+        reference keeps presenting on the previous pipelines when a shader
+        rebuild fails (`kajiya-rg/src/renderer.rs:466-497`, the main loop
+        prints the error and carries on). Here: on any tracing/compile/
+        execute error the temporal state is left untouched and the last
+        good frame's outputs are returned again; the first frame has no
+        fallback, so there the error propagates."""
+        import logging
+
+        try:
+            self.state, outputs = self._frame(self.ts, self.state, view)
+            self._last_good = outputs
+            self._last_error = None
+            return outputs
+        except Exception as e:  # noqa: BLE001 — any XLA failure class
+            if self._last_good is None:
+                raise
+            msg = f"{type(e).__name__}: {e}"
+            if msg != self._last_error:       # log each distinct error once
+                logging.getLogger("kajiya_tpu").error(
+                    "frame failed, presenting last good frame — %s", msg)
+                self._last_error = msg
+            return self._last_good
 
     def set_transforms(self, xforms):
         """Update instance transforms (I, 3, 4); previous transforms roll."""

@@ -113,6 +113,83 @@ class TestMeshLightSpecular:
         assert spec.max() > 0.0
 
 
+class TestRendererResilience:
+    def test_draw_survives_frame_failure(self):
+        """A jit/execute failure after the first good frame must not kill
+        the loop: draw() returns the last good outputs and leaves the
+        temporal state untouched (ref `kajiya-rg/src/renderer.rs:466-497`,
+        stale-pipeline presentation)."""
+        import jax
+        from kajiya_tpu.frame import (RenderConfig, Renderer)
+        from kajiya_tpu.scene.procedural import cornell_box
+
+        cfg = RenderConfig(width=32, height=24, max_trace_steps=64,
+                           use_taa=False, use_motion_blur=False,
+                           use_ircache=False, use_rtr=False)
+        r = Renderer(cornell_box(), cfg)
+        from kajiya_tpu.core.camera import make_view_constants
+
+        view = make_view_constants((0, 0, 2.4), (0, 0, -1), width=32,
+                                   height=24)
+        good = r.draw(view)
+        state_after_good = r.state
+        ok_fn = r._frame
+
+        def broken(ts, state, view):
+            raise RuntimeError("injected compile failure")
+
+        r._frame = broken
+        out = r.draw(view)       # must NOT raise
+        assert out is good
+        assert r.state is state_after_good
+        # second failure with the same message: still survives (logged once)
+        out2 = r.draw(view)
+        assert out2 is good
+        # recovery: put the real frame back, loop continues advancing
+        r._frame = ok_fn
+        out3 = r.draw(view)
+        assert out3 is not good
+        assert np.isfinite(np.asarray(out3["final"])).all()
+
+    def test_first_frame_failure_propagates(self):
+        from kajiya_tpu.frame import RenderConfig, Renderer
+        from kajiya_tpu.scene.procedural import cornell_box
+
+        cfg = RenderConfig(width=32, height=24, max_trace_steps=64,
+                           use_taa=False, use_motion_blur=False,
+                           use_ircache=False, use_rtr=False)
+        r = Renderer(cornell_box(), cfg)
+
+        def broken(ts, state, view):
+            raise RuntimeError("boom")
+
+        r._frame = broken
+        from kajiya_tpu.core.camera import make_view_constants
+
+        view = make_view_constants((0, 0, 2.4), (0, 0, -1), width=32,
+                                   height=24)
+        with pytest.raises(RuntimeError):
+            r.draw(view)
+
+
+class TestAnimatedDemo:
+    def test_animated_sequence_renders(self, tmp_path):
+        """The --animate path: orbit rig + moving sun + spinning instance
+        through set_transforms, N frames, no exception, finite output."""
+        from kajiya_tpu.apps import view as view_app
+
+        out = tmp_path / "anim.png"
+        view_app.main(["--scene", "cornell_box", "--width", "64",
+                       "--height", "48", "--animate", "4",
+                       "-o", str(out)])
+        assert out.exists()
+        from PIL import Image
+
+        img = np.asarray(Image.open(out))
+        assert img.shape[:2] == (48, 64)
+        assert img.max() > 8          # not a black frame
+
+
 class TestIblHdr:
     def test_hdr_roundtrip(self, tmp_path):
         """Write a tiny flat-format .hdr and decode it."""
