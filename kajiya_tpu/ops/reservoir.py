@@ -64,15 +64,22 @@ def update(res, payload, w, p_hat, u, m: float = 1.0, mask=None):
     return new
 
 
-def merge(res, other, p_hat_other_here, u, m_clamp=None, mask=None):
+def merge(res, other, p_hat_other_here, u, m_clamp=None, mask=None,
+          w_scale=None):
     """Merge another reservoir in (spatial/temporal reuse). The neighbor's
     sample is re-evaluated with OUR target function (`p_hat_other_here`).
     Its RIS weight is p_hat * W_other * M_other (standard ReSTIR merge);
-    the merged M adds the neighbor's (clamped) M."""
+    the merged M adds the neighbor's (clamped) M.
+
+    w_scale: optional extra factor on the RIS weight — the reconnection
+    jacobian when the sample is shifted between surface points
+    (`restir_spatial.hlsl`'s solid-angle density ratio)."""
     m_other = other["M"]
     if m_clamp is not None:
         m_other = jnp.minimum(m_other, m_clamp)
     w = jnp.maximum(p_hat_other_here * other["W"] * m_other, 0.0)
+    if w_scale is not None:
+        w = w * w_scale
     if mask is not None:
         w = jnp.where(mask, w, 0.0)
         m_other = jnp.where(mask, m_other, 0.0)

@@ -39,7 +39,7 @@ def hit_radiance(ts, hit, ray_dir, sky_env, diffuse_env,
                  prev_lit=None, prev_depth=None, view=None,
                  ircache_lookup=None, max_trace_steps=None, near: float = 0.01,
                  rng=None, light_nee: bool = True,
-                 full_shading: bool = False):
+                 full_shading: bool = False, return_aux: bool = False):
     """Radiance arriving along `ray_dir` from hit/miss points. (R,) rays.
 
     prev_lit/prev_depth + view enable screen-space radiance reuse (the
@@ -116,4 +116,9 @@ def hit_radiance(ts, hit, ray_dir, sky_env, diffuse_env,
 
     # --- miss: sky
     sky = sample_env(sky_env, ray_dir)
-    return jnp.where(m[:, None], radiance, sky)
+    out = jnp.where(m[:, None], radiance, sky)
+    if return_aux:
+        # reconnection data for ReSTIR reuse (`restir_spatial.hlsl` stores
+        # hit point + hit normal to re-derive directions with a jacobian)
+        return out, {"hit_pos": pos, "hit_geo_normal": attrs["geo_normal"]}
+    return out

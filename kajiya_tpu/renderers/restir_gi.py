@@ -7,11 +7,17 @@ are resampled temporally (reprojected history) and spatially (jittered
 neighbor taps with geometry similarity), multiplying the effective sample
 count at ~1 traced ray per half-res pixel.
 
-TPU re-design: reservoirs are planar arrays (ops/reservoir.py); directional
-reuse (payload = radiance + ray direction + hit distance) with the target
-function p_hat = luminance(L) * max(n.dir, 0); cosine-sampled candidates
-enter with the constant RIS weight pi * luminance(L). Spatial taps are
-static jittered offsets -> coalesced gathers instead of warp-divergent
+TPU re-design: reservoirs are planar arrays (ops/reservoir.py). The payload
+is the RECONNECTION data — radiance + world-space hit point + hit normal —
+and every reuse re-derives the direction from the receiving surface with
+the solid-angle jacobian (cos_hit ratio x distance^2 ratio), exactly the
+`restir_spatial.hlsl` shift map. Reusing raw directions instead is NOT a
+valid shortcut: at interior scales the spatial kernel spans a large
+parallax, and the missing jacobian compounds through the temporal feedback
+into a 30-40% energy loss (measured on the cornell box). Target function
+p_hat = luminance(L) * max(n . dir, 0); cosine-sampled candidates enter
+with the constant RIS weight pi * luminance(L). Spatial taps are static
+jittered offsets -> coalesced tile-shift DMAs instead of warp-divergent
 loops.
 """
 from __future__ import annotations
@@ -25,20 +31,21 @@ from ..ops import reservoir as rsv
 
 M_CLAMP_TEMPORAL = 20.0
 M_CLAMP_SPATIAL = 4.0
+JACOBIAN_CLAMP = 8.0        # firefly guard on the reconnection jacobian
 
 
 def init_state(h: int, w: int):
     hh, hw = h // 2, w // 2
     payload = {
         "radiance": jnp.zeros((hh, hw, 3), jnp.float32),
-        "dir": jnp.zeros((hh, hw, 3), jnp.float32),
-        "t": jnp.zeros((hh, hw), jnp.float32),
+        "hit": jnp.zeros((hh, hw, 3), jnp.float32),    # world hit point
+        "hitn": jnp.zeros((hh, hw, 3), jnp.float32),   # hit-surface normal
     }
     r = rsv.init((hh, hw), payload)
     return {
         "gi_res_payload_radiance": r["payload"]["radiance"],
-        "gi_res_payload_dir": r["payload"]["dir"],
-        "gi_res_payload_t": r["payload"]["t"],
+        "gi_res_payload_hit": r["payload"]["hit"],
+        "gi_res_payload_hitn": r["payload"]["hitn"],
         "gi_res_w_sum": r["w_sum"],
         "gi_res_M": r["M"],
         "gi_res_W": r["W"],
@@ -50,8 +57,8 @@ def _pack(state):
     return {
         "payload": {
             "radiance": state["gi_res_payload_radiance"],
-            "dir": state["gi_res_payload_dir"],
-            "t": state["gi_res_payload_t"],
+            "hit": state["gi_res_payload_hit"],
+            "hitn": state["gi_res_payload_hitn"],
         },
         "w_sum": state["gi_res_w_sum"],
         "M": state["gi_res_M"],
@@ -63,8 +70,8 @@ def _pack(state):
 def _unpack(r):
     return {
         "gi_res_payload_radiance": r["payload"]["radiance"],
-        "gi_res_payload_dir": r["payload"]["dir"],
-        "gi_res_payload_t": r["payload"]["t"],
+        "gi_res_payload_hit": r["payload"]["hit"],
+        "gi_res_payload_hitn": r["payload"]["hitn"],
         "gi_res_w_sum": r["w_sum"],
         "gi_res_M": r["M"],
         "gi_res_W": r["W"],
@@ -72,13 +79,31 @@ def _unpack(r):
     }
 
 
-def _p_hat(radiance, direction, normal):
-    return luminance(radiance) * jnp.maximum(
+def _reconnect(hit, pos):
+    """Direction + distance from a surface point to a stored hit point."""
+    d = hit - pos
+    dist = jnp.sqrt(jnp.maximum(jnp.sum(d * d, axis=-1), 1e-12))
+    return d / dist[..., None], dist
+
+
+def _jacobian(hit, hitn, pos_owner, pos_receiver):
+    """Solid-angle density ratio for reusing the owner's hit sample from the
+    receiver's surface point (`restir_spatial.hlsl` jacobian): the cosine at
+    the hit surface changes and so does the squared distance. Clamped to
+    kill fireflies from grazing reconnections."""
+    dir_a, da = _reconnect(hit, pos_owner)
+    dir_b, db = _reconnect(hit, pos_receiver)
+    ca = jnp.maximum(jnp.sum(hitn * (-dir_a), axis=-1), 1e-4)
+    cb = jnp.maximum(jnp.sum(hitn * (-dir_b), axis=-1), 0.0)
+    j = (cb / ca) * (da * da) / jnp.maximum(db * db, 1e-8)
+    return jnp.clip(j, 0.0, JACOBIAN_CLAMP)
+
+
+def _p_hat_at(payload, pos, normal):
+    """Target function at a receiving surface: re-derived direction."""
+    direction, _ = _reconnect(payload["hit"], pos)
+    return luminance(payload["radiance"]) * jnp.maximum(
         jnp.sum(direction * normal, axis=-1), 0.0)
-
-
-def _shift2(x, dy, dx):
-    return im.shift2d(x, dy, dx)
 
 
 def _geo_weight(vz, vz_n, n, n_n):
@@ -95,6 +120,7 @@ def restir_diffuse(state, candidates, gb_h, reproj, frame_idx,
     for resolve, new flat state)."""
     hh, hw = gb_h["hit"].shape
     n = gb_h["normal"]
+    pos = gb_h["pos"]
     vz = near / jnp.maximum(gb_h["depth"], 1e-12)
 
     px = jnp.arange(hh * hw, dtype=jnp.uint32).reshape(hh, hw)
@@ -103,8 +129,8 @@ def restir_diffuse(state, candidates, gb_h, reproj, frame_idx,
 
     # ---- candidate reservoir (M=1)
     cand_payload = {"radiance": candidates["radiance"],
-                    "dir": candidates["ray_dir"],
-                    "t": candidates["ray_t"]}
+                    "hit": candidates["hit_pos"],
+                    "hitn": candidates["hit_normal"]}
     lum = luminance(candidates["radiance"])
     cosg = jnp.maximum(jnp.sum(candidates["ray_dir"] * n, axis=-1), 0.0)
     p_hat_c = lum * cosg
@@ -114,31 +140,39 @@ def restir_diffuse(state, candidates, gb_h, reproj, frame_idx,
     cur = rsv.update(cur, cand_payload, w_c, p_hat_c, u,
                      mask=candidates["valid"])
 
-    # ---- temporal: reprojected previous reservoir (restir_temporal.hlsl)
-    # one wide nearest fetch for all reservoir planes
-    import jax
-
+    # ---- temporal: reprojected previous reservoir (restir_temporal.hlsl).
+    # The reprojected lane names ~the same surface point, so the jacobian is
+    # ~1; the direction is still re-derived from the CURRENT surface.
     prev = _pack(state)
     prev_uv = im.decimate2(reproj["prev_uv"])
     validity = im.decimate2(reproj["validity"])
 
     packed_prev = jnp.concatenate([
-        prev["payload"]["radiance"], prev["payload"]["dir"],
-        prev["payload"]["t"][..., None], prev["w_sum"][..., None],
+        prev["payload"]["radiance"], prev["payload"]["hit"],
+        prev["payload"]["hitn"], prev["w_sum"][..., None],
         prev["M"][..., None], prev["W"][..., None],
         prev["p_hat"][..., None]], axis=-1)
     f = im.warp_nearest(packed_prev, prev_uv)
     prev_f = {
-        "payload": {"radiance": f[..., 0:3], "dir": f[..., 3:6],
-                    "t": f[..., 6]},
-        "w_sum": f[..., 7], "M": f[..., 8], "W": f[..., 9],
-        "p_hat": f[..., 10],
+        "payload": {"radiance": f[..., 0:3], "hit": f[..., 3:6],
+                    "hitn": f[..., 6:9]},
+        "w_sum": f[..., 9], "M": f[..., 10], "W": f[..., 11],
+        "p_hat": f[..., 12],
     }
     prev_f = rsv.clamp_m(prev_f, M_CLAMP_TEMPORAL)
-    p_hat_t = _p_hat(prev_f["payload"]["radiance"], prev_f["payload"]["dir"], n)
+    p_hat_t = _p_hat_at(prev_f["payload"], pos, n)
     u, rng = rng_mod.rand_u01(rng)
     cur = rsv.merge(cur, prev_f, p_hat_t, u,
                     mask=(validity > 0.5) & candidates["valid"])
+
+    # the POST-TEMPORAL reservoir is what persists to the next frame (the
+    # reference's temporal ping-pong is written here, before the spatial
+    # passes — `rtdgi.rs:364-476`). Feeding the post-spatial result back
+    # instead lets samples random-walk across the screen over frames
+    # (M grows ~500 and reused jacobian chains redistribute energy
+    # spatially; measured on the near-field harness in
+    # tools/dbg_restir_energy.py).
+    next_state = _unpack(cur)
 
     # ---- spatial x2 (restir_spatial.hlsl): golden-angle spiral taps with
     # the rotation quantized to (8, 128) hardware tiles. The reference
@@ -147,23 +181,23 @@ def restir_diffuse(state, candidates, gb_h, reproj, frame_idx,
     # turns every tap into a pure-DMA tile_shift (ops/tileshift_pallas.py)
     # instead of a per-pixel gather/warp — ~6x cheaper per tap. All
     # reservoir planes + geometry guides are PACKED into one wide array so
-    # each tap moves 15 channels in one kernel pass. Sample counts match
+    # each tap moves 21 channels in one kernel pass. Sample counts match
     # restir_spatial.hlsl:75-76 (8 incl. center, then 5 incl. center).
     from ..ops import tileshift_pallas as tsp
 
     def pack(res):
         return jnp.concatenate([
-            res["payload"]["radiance"], res["payload"]["dir"],
-            res["payload"]["t"][..., None], res["w_sum"][..., None],
+            res["payload"]["radiance"], res["payload"]["hit"],
+            res["payload"]["hitn"], res["w_sum"][..., None],
             res["M"][..., None], res["W"][..., None],
-            res["p_hat"][..., None], n, vz[..., None]], axis=-1)
+            res["p_hat"][..., None], n, vz[..., None], pos], axis=-1)
 
     def unpack(p):
-        return ({"payload": {"radiance": p[..., 0:3], "dir": p[..., 3:6],
-                             "t": p[..., 6]},
-                 "w_sum": p[..., 7], "M": p[..., 8], "W": p[..., 9],
-                 "p_hat": p[..., 10]},
-                p[..., 11:14], p[..., 14])          # reservoir, n_nb, vz_nb
+        return ({"payload": {"radiance": p[..., 0:3], "hit": p[..., 3:6],
+                             "hitn": p[..., 6:9]},
+                 "w_sum": p[..., 9], "M": p[..., 10], "W": p[..., 11],
+                 "p_hat": p[..., 12]},
+                p[..., 13:16], p[..., 16], p[..., 17:20])  # n_nb, vz_nb, pos_nb
 
     GOLDEN_ANGLE = 2.39996323
     nty, ntx = tsp.tile_grid(hh, hw)
@@ -180,15 +214,20 @@ def restir_diffuse(state, candidates, gb_h, reproj, frame_idx,
             r = jnp.sqrt(k / n_taps) * radius
             dy = jnp.round(jnp.sin(ang) * r).astype(jnp.int32)
             dx = jnp.round(jnp.cos(ang) * r).astype(jnp.int32)
-            nb, n_nb, vz_nb = unpack(tsp.tile_shift(packed, dy, dx))
+            nb, n_nb, vz_nb, pos_nb = unpack(tsp.tile_shift(packed, dy, dx))
             ok = _geo_weight(vz, vz_nb, n, n_nb) & candidates["valid"]
-            p_hat_nb = _p_hat(nb["payload"]["radiance"], nb["payload"]["dir"], n)
+            # reconnection: the neighbor's hit sample evaluated FROM our
+            # surface — direction re-derived, density moved by the jacobian
+            p_hat_nb = _p_hat_at(nb["payload"], pos, n)
+            jac = _jacobian(nb["payload"]["hit"], nb["payload"]["hitn"],
+                            pos_nb, pos)
             nb = rsv.clamp_m(nb, M_CLAMP_SPATIAL * M_CLAMP_TEMPORAL)
             u, rng = rng_mod.rand_u01(rng)
-            merged = rsv.merge(merged, nb, p_hat_nb, u, mask=ok)
+            merged = rsv.merge(merged, nb, p_hat_nb, u, mask=ok,
+                               w_scale=jac)
         cur = merged
 
-    return cur, _unpack(cur)
+    return cur, next_state
 
 
 VALIDATE_PERIOD = 3
@@ -200,8 +239,8 @@ def validate_reservoirs(ts, state, gb_h, sky_env, diffuse_env, frame_idx,
                         secondary_full_shading: bool = False):
     """Quarter-res re-trace of stored GI reservoir rays
     (`diffuse_validate.rgen.hlsl`, every 3rd frame, `rtdgi.rs:294`,
-    `gi-overview.md:163-177`): sample the stored ray again; where the
-    radiance disagrees,
+    `gi-overview.md:163-177`): re-trace toward the stored hit point; where
+    the radiance disagrees,
       * if the hit DISTANCE still matches (same surface, changed lighting):
         replace the stored radiance, with the reference's firefly clamps on
         M and W (diffuse_validate.rgen.hlsl:96-105);
@@ -209,34 +248,30 @@ def validate_reservoirs(ts, state, gb_h, sky_env, diffuse_env, frame_idx,
         M-clamping re-weigh the stale sample.
     Returns (new_state, invalidity) — invalidity (half-res, 0..1, the
     smoothstep of relative radiance change) feeds the temporal filter's
-    history cut (role of temporal_validity_integrate.hlsl).
-
-    The ray origin is re-derived from the CURRENT g-buffer surface at the
-    reservoir's pixel (the reference keeps an explicit ray_orig_history;
-    after reprojection both name ~the same surface point)."""
+    history cut (role of temporal_validity_integrate.hlsl)."""
     from ..rt.trace import scene_trace_closest
     from .hit_lighting import hit_radiance
 
     RAY_EPS = 1e-4
-    hh, hw = state["gi_res_payload_t"].shape
+    hh, hw = state["gi_res_w_sum"].shape
     pos_q = im.decimate2(gb_h["pos"])
     gn_q = im.decimate2(gb_h["geo_normal"])
-    dir_q = im.decimate2(state["gi_res_payload_dir"])
+    hit_q = im.decimate2(state["gi_res_payload_hit"])
     rad_q = im.decimate2(state["gi_res_payload_radiance"])
-    t_q = im.decimate2(state["gi_res_payload_t"])
-    qh, qw = dir_q.shape[:2]
+    qh, qw = hit_q.shape[:2]
 
-    d = dir_q.reshape(-1, 3)
-    live = jnp.linalg.norm(d, axis=-1) > 0.5
-    d = jnp.where(live[:, None], d, jnp.array([0.0, 1.0, 0.0]))
+    d3, t_old = _reconnect(hit_q.reshape(-1, 3), pos_q.reshape(-1, 3))
+    live = luminance(rad_q.reshape(-1, 3)) + t_old > 1e-3
+    d = jnp.where(live[:, None], d3, jnp.array([0.0, 1.0, 0.0]))
     org = pos_q.reshape(-1, 3) + gn_q.reshape(-1, 3) * RAY_EPS * 8
     hit = scene_trace_closest(ts, org, d, t_min=RAY_EPS,
                               max_steps=max_trace_steps)
-    fresh = hit_radiance(ts, hit, d, sky_env, diffuse_env,
-                         prev_lit=prev_lit, prev_depth=prev_depth, view=view,
-                         ircache_lookup=ircache_lookup,
-                         max_trace_steps=max_trace_steps,
-                         full_shading=secondary_full_shading)
+    fresh, aux = hit_radiance(ts, hit, d, sky_env, diffuse_env,
+                              prev_lit=prev_lit, prev_depth=prev_depth,
+                              view=view, ircache_lookup=ircache_lookup,
+                              max_trace_steps=max_trace_steps,
+                              full_shading=secondary_full_shading,
+                              return_aux=True)
 
     old = rad_q.reshape(-1, 3)
     # rad_diff/invalidity as in diffuse_validate.rgen.hlsl:81-82
@@ -245,13 +280,12 @@ def validate_reservoirs(ts, state, gb_h, sky_env, diffuse_env, frame_idx,
     inv_q = jnp.where(live, _smoothstep(0.1, 0.5, rad_diff / jnp.sqrt(3.0)),
                       0.0)
     t_new = jnp.minimum(hit.t, 1e8)
-    t_old = t_q.reshape(-1)
     same_hit = (jnp.abs(t_new - t_old)
                 / jnp.maximum(2.0 * t_old, 1e-3)) < 0.2
     mismatch = inv_q > 0.0
 
     # scatter back to half res: only the top-left reservoir of each 2x2 was
-    # re-traced along ITS dir; neighbors only get their history cut
+    # re-traced along ITS ray; neighbors only get their history cut
     def up2(x):
         r = jnp.repeat(jnp.repeat(x.reshape((qh, qw) + x.shape[1:]), 2, 0),
                        2, 1)
@@ -264,17 +298,17 @@ def validate_reservoirs(ts, state, gb_h, sky_env, diffuse_env, frame_idx,
     cols = jnp.arange(hw)[None, :]
     traced_lane = (rows % 2 == 0) & (cols % 2 == 0)
     # fresh payload only on the lane that was actually re-traced; its three
-    # 2x2 neighbors (stale dir/radiance) and all occlusion-changed lanes
-    # just get their history cut
+    # 2x2 neighbors (stale payload) and all occlusion-changed lanes just
+    # get their history cut
     replace = block_replace & traced_lane
     cut_only = (block_replace & ~traced_lane) | block_occl
 
     fresh_h = up2(fresh)
-    t_h = up2(t_new)
     lum_old_h = luminance(state["gi_res_payload_radiance"])
     lum_new_h = luminance(fresh_h)
     ratio = lum_old_h / jnp.maximum(lum_new_h, 1e-8)
-    # p_hat = lum * cos: dir unchanged -> rescale by the luminance ratio
+    # p_hat = lum * cos: hit point (and thus dir) unchanged on replaced
+    # lanes -> rescale by the luminance ratio
     p_hat_new = jnp.where(lum_old_h > 1e-8,
                           state["gi_res_p_hat"] / jnp.maximum(ratio, 1e-8),
                           lum_new_h)
@@ -282,8 +316,6 @@ def validate_reservoirs(ts, state, gb_h, sky_env, diffuse_env, frame_idx,
     new = dict(state)
     new["gi_res_payload_radiance"] = jnp.where(
         replace[..., None], fresh_h, state["gi_res_payload_radiance"])
-    new["gi_res_payload_t"] = jnp.where(replace, t_h,
-                                        state["gi_res_payload_t"])
     new["gi_res_p_hat"] = jnp.where(replace, p_hat_new,
                                     state["gi_res_p_hat"])
     # the reference's firefly clamps: M shrinks by the luminance ratio when
@@ -314,21 +346,26 @@ def _smoothstep(lo, hi, x):
 
 def resolve(reservoir, gb, near: float = 0.01):
     """Half-res reservoirs -> full-res E/pi (restir_resolve.hlsl): 4-tap
-    joint-bilateral footprint; each reservoir contributes its unbiased
-    estimator L * cos(n_full, dir) * W.
+    joint-bilateral footprint; each reservoir contributes its estimator
+    L * cos(n_full, dir) * W, with the direction re-derived from the
+    full-res surface point and the reconnection jacobian applied (the
+    half->full offset is itself a (small) parallax shift).
 
-    PHASE-MAJOR: instead of weaving 5 half-res planes x 4 taps to full res
-    (20 interleave chains, ~25 ms at 1080p), compute each of the 4 output
+    PHASE-MAJOR: instead of weaving half-res planes x 4 taps to full res
+    (20+ interleave chains, ~25 ms at 1080p), compute each of the 4 output
     phases entirely at half res — every tap is then a static +-1 shift of
     a half-res plane with a CONSTANT bilinear weight — and weave the
     finished radiance once at the end (bit-identical, ~3x faster)."""
     vz_ph = im.phase_split(near / jnp.maximum(gb["depth"], 1e-12))
     n_ph = im.phase_split(gb["normal"])
+    pos_ph = im.phase_split(gb["pos"])
     # the half-res lattice samples full-res phase (0, 0)
     vz_h = vz_ph[0][0]
     n_h = n_ph[0][0]
+    pos_h = pos_ph[0][0]
     rad_res = reservoir["payload"]["radiance"]
-    dir_res = reservoir["payload"]["dir"]
+    hit_res = reservoir["payload"]["hit"]
+    hitn_res = reservoir["payload"]["hitn"]
     w_res = reservoir["W"]
 
     out_ph = [[None, None], [None, None]]
@@ -336,6 +373,7 @@ def resolve(reservoir, gb, near: float = 0.01):
         for px in (0, 1):
             vz = vz_ph[py][px]
             nf = n_ph[py][px]
+            pf = pos_ph[py][px]
             acc = jnp.zeros_like(rad_res)
             accw = jnp.zeros_like(w_res)
             for ky in (0, 1):
@@ -348,11 +386,15 @@ def resolve(reservoir, gb, near: float = 0.01):
                     w_z = jnp.exp(-jnp.abs(zz - vz) / (0.05 * vz + 1e-4))
                     w_n = jnp.maximum(jnp.sum(nn * nf, axis=-1), 0.0) ** 8
                     wt = bw * w_z * w_n + 1e-6
-                    dirs = im.shift2d(dir_res, dy, dx)
+                    hits = im.shift2d(hit_res, dy, dx)
+                    hitns = im.shift2d(hitn_res, dy, dx)
+                    owner_pos = im.shift2d(pos_h, dy, dx)
+                    dirs, _ = _reconnect(hits, pf)
                     cosf = jnp.maximum(jnp.sum(dirs * nf, axis=-1), 0.0)
+                    jac = _jacobian(hits, hitns, owner_pos, pf)
                     ww = im.shift2d(w_res, dy, dx)
                     rad = im.shift2d(rad_res, dy, dx)
-                    acc = acc + rad * (cosf * ww * wt)[..., None]
+                    acc = acc + rad * (cosf * jac * ww * wt)[..., None]
                     accw = accw + wt
             # estimator integrates L cos / pdf == pi * E/pi; divide by pi
             out_ph[py][px] = acc / accw[..., None] / jnp.pi

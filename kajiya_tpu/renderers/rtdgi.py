@@ -23,6 +23,7 @@ from .reprojection import reproject_image, reproject_planes
 from ..rt.trace import scene_trace_closest
 
 RAY_EPS = 1e-4
+SKY_DIST = 1e4      # virtual hit distance for sky misses (reconnection)
 
 
 def init_state(h: int, w: int):
@@ -63,17 +64,26 @@ def trace_candidates(ts, gb_h, frame_idx, sky_env, diffuse_env,
 
     hit = scene_trace_closest(ts, org, wi, t_min=RAY_EPS,
                         max_steps=max_trace_steps)
-    rad = hit_radiance(ts, hit, wi, sky_env, diffuse_env,
-                       prev_lit=prev_lit, prev_depth=prev_depth, view=view,
-                       ircache_lookup=ircache_lookup,
-                       max_trace_steps=max_trace_steps, rng=rng,
-                       full_shading=secondary_full_shading)
+    rad, aux = hit_radiance(ts, hit, wi, sky_env, diffuse_env,
+                            prev_lit=prev_lit, prev_depth=prev_depth,
+                            view=view, ircache_lookup=ircache_lookup,
+                            max_trace_steps=max_trace_steps, rng=rng,
+                            full_shading=secondary_full_shading,
+                            return_aux=True)
     valid = gb_h["hit"].reshape(-1)
+    # reconnection data: real hit point (or a far virtual point for sky
+    # misses, jacobian ~1 there) + hit-surface normal, the payload ReSTIR
+    # reuse re-derives directions from (`restir_spatial.hlsl`)
+    m = hit.hit_mask[:, None]
+    hit_pos = jnp.where(m, aux["hit_pos"], org + wi * SKY_DIST)
+    hit_n = jnp.where(m, aux["hit_geo_normal"], -wi)
     # cosine-weighted estimator of E/pi is simply the sampled radiance
     return {
         "radiance": jnp.where(valid[:, None], rad, 0.0).reshape(hh, hw, 3),
         "ray_dir": wi.reshape(hh, hw, 3),
         "ray_t": jnp.minimum(hit.t, 1e8).reshape(hh, hw),
+        "hit_pos": hit_pos.reshape(hh, hw, 3),
+        "hit_normal": hit_n.reshape(hh, hw, 3),
         "valid": valid.reshape(hh, hw),
     }
 
@@ -133,7 +143,7 @@ def rtdgi_pipeline(ts, gb, view, frame_idx, state, reproj, sky_env,
                 secondary_full_shading=secondary_full_shading)
 
         def no_validate(rs):
-            hh, hw = rs["gi_res_payload_t"].shape
+            hh, hw = rs["gi_res_w_sum"].shape
             return rs, jnp.zeros((hh, hw), jnp.float32)
 
         restir_state, invalidity = jax.lax.cond(
@@ -167,13 +177,19 @@ def rtdgi_pipeline(ts, gb, view, frame_idx, state, reproj, sky_env,
     alpha = (1.0 / hist_len)[..., None]
     out = hist * (1 - alpha) + full * alpha
 
-    # variance clamp against the spatial neighborhood to cut ghosting
+    # variance clamp against the spatial neighborhood to cut ghosting. The
+    # band includes a relative term: a pure n-sigma box around the CURRENT
+    # frame's local mean systematically clips the converged history whenever
+    # this frame's neighborhood missed the (rare, bright) light-carrying
+    # samples — measured ~30% GI energy loss on the cornell box without it
     m1, var = im.local_moments_3x3(full)
     sigma = jnp.sqrt(jnp.maximum(var, 0.0))
-    out = jnp.clip(out, m1 - sigma * 3.0 - 1e-3, m1 + sigma * 3.0 + 1e-3)
+    band = sigma * 3.0 + 0.15 * m1 + 1e-3
+    out = jnp.clip(out, m1 - band, m1 + band)
 
-    if ssao is not None:
-        out = out * (0.3 + 0.7 * ssao[..., None])
+    # NOTE: ssao deliberately does NOT darken the GI — the reference uses AO
+    # only as a filter/kernel guide, never to modulate lighting
+    # (`gi-overview.md:368`); it feeds the ReSTIR spatial radius instead.
 
     new_state = {"rtdgi_history": out, "rtdgi_hist_len": hist_len}
     # candidates are also returned so RTR can reuse the diffuse rays for

@@ -93,6 +93,48 @@ def cornell_box(light_intensity: float = 20.0, box_metallic: float = 0.0,
     return scene
 
 
+def checker_data_uri(size: int = 32, cells: int = 4,
+                     c0=(255, 140, 30), c1=(30, 90, 255)) -> str:
+    """A saturated checkerboard PNG as a data URI (hermetic texture source)."""
+    import base64
+    import io
+
+    from PIL import Image
+
+    y, x = np.mgrid[0:size, 0:size]
+    cell = size // cells
+    mask = ((x // cell + y // cell) % 2).astype(bool)
+    img = np.empty((size, size, 3), np.uint8)
+    img[mask] = np.array(c0, np.uint8)
+    img[~mask] = np.array(c1, np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    return "data:image/png;base64," + base64.b64encode(buf.getvalue()).decode()
+
+
+def textured_cornell_box(light_intensity: float = 20.0) -> Scene:
+    """Cornell box with a saturated checker albedo texture on the walls/floor
+    material (UVs on the floor quad): exercises textured shading on BOTH the
+    primary hit and secondary GI bounces — bounce light off the floor carries
+    the checker's color. Used by the textured oracle test quantifying
+    secondary-hit shading bias (hit_lighting full_shading)."""
+    scene = cornell_box(light_intensity=light_intensity)
+    mesh = scene.meshes[0]
+    # floor quad is first: vertices 0..3 / triangles 0..1 get a dedicated
+    # textured material so the other white surfaces stay untextured
+    uv = np.zeros_like(mesh.uvs)
+    uv[0:4] = np.array([[0, 0], [2, 0], [2, 2], [0, 2]], np.float32)
+    mesh.uvs = uv
+    mesh.image_paths = [checker_data_uri()]
+    floor_mat = _mat((1.0, 1.0, 1.0))
+    floor_mat.base_color_texture = 0
+    mesh.materials.append(floor_mat)
+    mids = mesh.material_ids.copy()
+    mids[0:2] = len(mesh.materials) - 1
+    mesh.material_ids = mids
+    return scene
+
+
 def single_triangle(emissive=(0, 0, 0), color=(0.8, 0.8, 0.8)) -> Scene:
     mesh = PackedMesh(
         positions=np.array([[-1, -1, 0], [1, -1, 0], [0, 1, 0]], np.float32),

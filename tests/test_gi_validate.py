@@ -24,11 +24,13 @@ class TestValidateReservoirs:
     def _mk(self):
         hh, hw = 24, 32
         state = restir_gi.init_state(2 * hh, 2 * hw)
-        # stored reservoirs: straight-up rays, radiance 1, matching t
-        state["gi_res_payload_dir"] = jnp.tile(
-            jnp.asarray([0.0, 1.0, 0.0]), (hh, hw, 1))
+        # stored reservoirs: hit point straight up at distance 2 from the
+        # surface (origin), radiance 1
+        state["gi_res_payload_hit"] = jnp.tile(
+            jnp.asarray([0.0, 2.0, 0.0]), (hh, hw, 1))
+        state["gi_res_payload_hitn"] = jnp.tile(
+            jnp.asarray([0.0, -1.0, 0.0]), (hh, hw, 1))
         state["gi_res_payload_radiance"] = jnp.ones((hh, hw, 3))
-        state["gi_res_payload_t"] = jnp.full((hh, hw), 2.0)
         state["gi_res_M"] = jnp.full((hh, hw), 8.0)
         state["gi_res_W"] = jnp.ones((hh, hw))
         state["gi_res_p_hat"] = jnp.ones((hh, hw))
@@ -52,7 +54,9 @@ class TestValidateReservoirs:
             return Hit()
 
         def fake_radiance(ts, hit, d, *a, **k):
-            return jnp.full((d.shape[0], 3), fresh_val)
+            rad = jnp.full((d.shape[0], 3), fresh_val)
+            aux = {"hit_pos": d * 2.0, "hit_geo_normal": -d}
+            return (rad, aux) if k.get("return_aux") else rad
 
         monkeypatch.setattr("kajiya_tpu.rt.trace.scene_trace_closest",
                             fake_trace)
@@ -89,7 +93,9 @@ class TestValidateReservoirs:
             return Hit()
 
         def fake_radiance(ts, hit, d, *a, **k):
-            return jnp.zeros((d.shape[0], 3))
+            rad = jnp.zeros((d.shape[0], 3))
+            aux = {"hit_pos": d * 0.3, "hit_geo_normal": -d}
+            return (rad, aux) if k.get("return_aux") else rad
 
         monkeypatch.setattr("kajiya_tpu.rt.trace.scene_trace_closest",
                             fake_trace)

@@ -51,14 +51,27 @@ def converged_pair():
 class TestHybridVsOracle:
     def test_global_energy_agrees(self, converged_pair):
         pt, hy = converged_pair
-        assert abs(hy.mean() / pt.mean() - 1.0) < 0.25, (hy.mean(), pt.mean())
+        # measured ratio 0.855 at 16 frames (ReSTIR still accumulating M;
+        # converges to ~0.92 by 144 frames)
+        assert abs(hy.mean() / pt.mean() - 1.0) < 0.2, (hy.mean(), pt.mean())
+
+    def test_non_emitter_energy(self, converged_pair):
+        """The GI-lit (non-emitter) pixels specifically: the 20x emitter is
+        ~60% of global energy and can mask a large GI deficit (round 3
+        found a 46% one). Measured 0.66 at 16 frames post-fix."""
+        pt, hy = converged_pair
+        lp, lh = pt.mean(-1), hy.mean(-1)
+        em = lp > 3.0
+        ratio = lh[~em].sum() / lp[~em].sum()
+        assert ratio > 0.55, ratio
+        assert ratio < 1.3, ratio
 
     def test_rmse_bounded(self, converged_pair):
         pt, hy = converged_pair
         rmse = float(np.sqrt(np.mean((hy - pt) ** 2)))
-        # loose bound: the hybrid at 16 frames vs 48-spp PT on a 20x-emitter
-        # scene; catches regressions an order of magnitude out
-        assert rmse < 0.35, rmse
+        # tightened (VERDICT r2): measured 0.190 at 16 frames after the
+        # ReSTIR reconnection-jacobian fix (was 0.242 with the energy bug)
+        assert rmse < 0.21, rmse
 
     def test_spatial_structure_agrees(self, converged_pair):
         """Correlation of the two images (patterns of light/shadow match)."""
@@ -77,3 +90,75 @@ class TestHybridVsOracle:
             right = img[H // 2 - 6: H // 2 + 6, -16:-8]
             assert left[..., 0].mean() > left[..., 1].mean()
             assert right[..., 1].mean() > right[..., 0].mean()
+
+
+@pytest.fixture(scope="module")
+def textured_pair():
+    """Textured floor (checker albedo): PT oracle vs hybrid with FULL
+    secondary shading vs hybrid with flat secondary shading. Quantifies the
+    bounce-shading bias that an untextured oracle cannot see (VERDICT r2:
+    hit_lighting full_shading)."""
+    from kajiya_tpu.scene.procedural import textured_cornell_box
+
+    gpu = build_gpu_scene(textured_cornell_box())
+    ts, levels = build_trace_scene(gpu)
+    view = make_view_constants((0, 0, 2.4), (0, 0, -1), fov_y_deg=55.0,
+                               width=W, height=H)
+
+    def hybrid(full):
+        cfg = RenderConfig(width=W, height=H, max_trace_steps=256,
+                           use_taa=False, use_motion_blur=False,
+                           secondary_full_shading=full)
+        state = init_frame_state(cfg)
+        step = jax.jit(lambda s: render_frame(ts, s, view, cfg, levels=levels))
+        for _ in range(16):
+            state, out = step(state)
+        return np.asarray(out["lit"])
+
+    cfg = RenderConfig(width=W, height=H, max_trace_steps=256,
+                       use_taa=False, use_motion_blur=False)
+    rstate = init_reference_state(cfg)
+    rstep = jax.jit(lambda s: render_frame_reference(
+        ts, s, view, cfg, levels=levels, num_bounces=5, pixel_filter=False))
+    for _ in range(48):
+        rstate, rout = rstep(rstate)
+    return np.asarray(rout["lit"]), hybrid(True), hybrid(False)
+
+
+class TestTexturedOracle:
+    def test_textured_energy_and_rmse(self, textured_pair):
+        pt, hy_full, _ = textured_pair
+        # measured post reconnection-fix: energy ratio 0.847, rmse 0.186
+        assert abs(hy_full.mean() / pt.mean() - 1.0) < 0.2
+        rmse = float(np.sqrt(np.mean((hy_full - pt) ** 2)))
+        assert rmse < 0.21, rmse
+
+    def test_primary_texture_visible(self, textured_pair):
+        """The checker must appear in both renders. Metric: red-minus-blue
+        chroma variation on the central floor columns (the orange/blue cells
+        alternate) far above the same metric on the white back wall — the
+        side walls are excluded because their red/green albedo would
+        dominate a plain luminance variance."""
+        pt, hy_full, _ = textured_pair
+        cols = slice(W // 4, 3 * W // 4)
+        for img in (pt, hy_full):
+            floor_rb = img[-10:, cols, 0] - img[-10:, cols, 2]
+            wall_rb = (img[H // 2 - 8: H // 2, cols, 0]
+                       - img[H // 2 - 8: H // 2, cols, 2])
+            assert floor_rb.std() > 2.0 * wall_rb.std(), (
+                floor_rb.std(), wall_rb.std())
+
+    def test_secondary_shading_bias_budget(self, textured_pair):
+        """EXPLICIT budget for the flat-secondary bias (VERDICT r2 weak 2):
+        the flag must change bounce lighting measurably (textures really are
+        fetched at secondary hits), the divergence must stay small (the
+        flat fallback is a usable fast path), and BOTH variants must stay
+        inside the coarse oracle budget. Measured on this scene at 16
+        frames: mean|full-flat| ~= 0.033."""
+        pt, hy_full, hy_flat = textured_pair
+        bias = np.abs(hy_full - hy_flat).mean()
+        assert bias > 0.005, bias       # flag is actually wired
+        assert bias < 0.08, bias        # explicit bias budget
+        for img in (hy_full, hy_flat):
+            rmse = float(np.sqrt(np.mean((img - pt) ** 2)))
+            assert rmse < 0.21, rmse

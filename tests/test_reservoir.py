@@ -122,6 +122,9 @@ class TestRestirGiIntegration:
             "radiance": jnp.full((h // 2, w // 2, 3), L, jnp.float32),
             "ray_dir": up,          # straight along the normal
             "ray_t": jnp.ones((h // 2, w // 2), jnp.float32),
+            # hit 1 unit along the normal; hit surface faces back
+            "hit_pos": up * 1.0,
+            "hit_normal": -up,
             "valid": jnp.ones((h // 2, w // 2), bool),
         }
         reproj = {
@@ -133,6 +136,7 @@ class TestRestirGiIntegration:
         gb = {
             "depth": jnp.full((h, w), 0.5, jnp.float32),
             "normal": jnp.tile(jnp.asarray([0.0, 1.0, 0.0]), (h, w, 1)),
+            "pos": jnp.zeros((h, w, 3), jnp.float32),
         }
         out = np.asarray(rg.resolve(res, gb))
         # estimator: L * cos(=1) * W; with p_hat = lum(L)*1, w = pi*lum ->
