@@ -126,7 +126,65 @@ def main():
     if result is None:
         result = {"metric": "bench_failed", "value": -1.0, "unit": "ms",
                   "vs_baseline": -1.0}
+
+    # second datum: production-scene frame (76k-tri pica diorama, textures +
+    # normal maps, full GI). Rides the same JSON line as "extra" so the
+    # driver contract (one line) holds. Tries the Pallas streaming tracer
+    # first; on a Mosaic-rejecting libtpu, retries via the XLA culled path
+    # (KAJIYA_NO_PALLAS_TRACE honored by rt/trace.py).
+    dio = _bench_diorama()
+    if dio is not None:
+        result["extra"] = dio
     print(json.dumps(result))
+
+
+def _bench_diorama():
+    import os
+
+    from kajiya_tpu.core.camera import make_view_constants
+    from kajiya_tpu.frame import RenderConfig, init_frame_state, render_frame
+    from kajiya_tpu.ops.hoist import jit_hoisted
+    from kajiya_tpu.scene.cache import load_mesh_cached
+    from kajiya_tpu.scene.scene import Scene, build_gpu_scene
+    from kajiya_tpu.world import build_trace_scene
+
+    path = ("/root/reference/assets/meshes/pica_pica_-_mini_diorama_01/"
+            "scene.gltf")
+    if not os.path.exists(path):
+        return None
+    try:
+        scene = Scene()
+        scene.add_instance(scene.add_mesh(load_mesh_cached(path)),
+                           scale=(0.05, 0.05, 0.05))
+        gpu = build_gpu_scene(scene)
+        ts, levels = build_trace_scene(gpu)
+        view = make_view_constants((0.0, 0.6, 1.4), (0.0, -0.35, -1.0),
+                                   fov_y_deg=55.0, width=WIDTH, height=HEIGHT)
+    except Exception as e:
+        print(f"# diorama scene build failed: {type(e).__name__}: "
+              f"{str(e)[:120]}", file=sys.stderr)
+        return None
+
+    for pallas_off in (False, True):
+        if pallas_off:
+            os.environ["KAJIYA_NO_PALLAS_TRACE"] = "1"
+        try:
+            cfg = RenderConfig(width=WIDTH, height=HEIGHT)
+            state = init_frame_state(cfg)
+            step = jit_hoisted(
+                lambda s: render_frame(ts, s, view, cfg, levels=levels))
+            ms, how = _measure(step, state)
+            return {"metric": "hybrid_gi_frame_ms_1080p_diorama",
+                    "value": round(ms, 3), "unit": "ms",
+                    "tris": int(gpu.num_triangles),
+                    "vs_baseline": round(ms / BASELINE_MS, 3),
+                    "timing": how,
+                    "tracer": "xla_culled" if pallas_off else "pallas"}
+        except Exception as e:
+            print(f"# diorama bench ({'xla' if pallas_off else 'pallas'}) "
+                  f"failed: {type(e).__name__}: {str(e)[:120]}",
+                  file=sys.stderr)
+    return None
 
 
 if __name__ == "__main__":

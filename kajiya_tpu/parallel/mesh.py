@@ -68,6 +68,89 @@ def render_frame_sharded(ts, state, view, cfg, levels, mesh: Mesh,
     return fn(ts, state, view)
 
 
+# ----------------------------------------------------------------------------
+# Multi-host / DCN (SURVEY.md section 2.8): a 2-D ("host", "tile") mesh whose
+# outer axis spans processes (DCN links) and whose inner axis spans each
+# host's local chips (ICI). Frame rows shard across BOTH axes host-major, so
+# a screen-space filter's halo exchange crosses DCN only at the single row
+# boundary between adjacent hosts — every other halo rides ICI. The
+# histogram/exposure psum crosses DCN once per frame (256 floats).
+# ----------------------------------------------------------------------------
+
+def init_distributed(coordinator_address=None, num_processes=None,
+                     process_id=None):
+    """Bring up JAX's multi-process runtime (call once per host before any
+    jax op, mirrors `jax.distributed.initialize`). On a single host this is
+    a no-op and the multihost mesh degrades to device-only axes."""
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(coordinator_address, num_processes,
+                                   process_id)
+
+
+def make_multihost_mesh(shape: tuple | None = None,
+                        axes: tuple = ("host", "tile")) -> Mesh:
+    """(n_hosts, devices_per_host) mesh. Devices are grouped host-major by
+    `process_index`, so the inner ("tile") axis always stays on one host's
+    ICI domain and only the outer ("host") axis crosses DCN.
+
+    shape: explicit (hosts, per_host) — used by tests to emulate hosts on a
+    virtual single-process device pool; default = the true process layout."""
+    devs = jax.devices()
+    if shape is None:
+        n_hosts = max(d.process_index for d in devs) + 1
+        per_host = len(devs) // n_hosts
+        shape = (n_hosts, per_host)
+    n_hosts, per_host = shape
+    ordered = sorted(devs, key=lambda d: (d.process_index, d.id))
+    grid = np.array(ordered[: n_hosts * per_host]).reshape(n_hosts, per_host)
+    return Mesh(grid, axes)
+
+
+def distribute_scene(pytree):
+    """DCN scene distribution: process 0 (the host that loaded/baked the
+    scene) broadcasts the scene pytree to every other host. Single-process:
+    identity. (`world_renderer.rs` has no analog — the reference is
+    single-machine; this is the §2.8 'multi-host scene distribution' axis.)"""
+    if jax.process_count() <= 1:
+        return pytree
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.broadcast_one_to_all(pytree)
+
+
+def _spec_for_multihost(x, mesh: Mesh, axes=("host", "tile")):
+    """Row-shard image planes across (host x tile) jointly, host-major."""
+    n = mesh.shape[axes[0]] * mesh.shape[axes[1]]
+    if (hasattr(x, "ndim") and x.ndim >= 2 and x.shape[0] % n == 0
+            and x.shape[0] >= n and x.shape[1] >= 8):
+        return NamedSharding(mesh, P(axes, *([None] * (x.ndim - 1))))
+    return NamedSharding(mesh, P())
+
+
+def render_frame_multihost(ts, state, view, cfg, levels, mesh: Mesh,
+                           axes=("host", "tile")):
+    """`render_frame` over a ("host", "tile") mesh: rows sharded across all
+    devices host-major (halos on ICI except at host seams), scene/BVH
+    replicated per device, cross-host reductions (exposure histogram)
+    emitted by GSPMD as DCN psums."""
+    from ..frame import render_frame
+
+    state_sh = jax.tree_util.tree_map(
+        lambda x: _spec_for_multihost(x, mesh, axes), state)
+    repl = NamedSharding(mesh, P())
+    ts_sh = jax.tree_util.tree_map(lambda _: repl, ts)
+    view_sh = jax.tree_util.tree_map(lambda _: repl, view)
+
+    def step(ts_, state_, view_):
+        return render_frame(ts_, state_, view_, cfg, levels=levels)
+
+    fn = jax.jit(step, in_shardings=(ts_sh, state_sh, view_sh))
+    state = jax.device_put(state, state_sh)
+    ts = jax.device_put(ts, ts_sh)
+    view = jax.device_put(view, view_sh)
+    return fn(ts, state, view)
+
+
 def shard_rays_pt(ts, org, d, seed, mesh: Mesh, axis: str = "tile",
                   **pt_kwargs):
     """Sample/ray-parallel reference path trace: shard the flat (R, 3) ray

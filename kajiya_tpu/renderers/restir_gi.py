@@ -106,6 +106,28 @@ def _p_hat_at(payload, pos, normal):
         jnp.sum(direction * normal, axis=-1), 0.0)
 
 
+def _occluded(pos, hit, vz_h, view, near, samples):
+    """Screen-space occlusion raymarch along the receiver->hit segment
+    (`restir_spatial.hlsl` occlusion_raymarch): depth-test a few interior
+    points against the half-res z buffer; a surface in front of the segment
+    (within a relative thickness window, so distant foreground objects do
+    not false-positive) marks the reused sample occluded."""
+    from .hit_lighting import _project_to_uv
+
+    occ = jnp.zeros(vz_h.shape, bool)
+    wv = view.world_to_view
+    for i in range(samples):
+        s = (i + 1.0) / (samples + 1.0)
+        p = pos * (1.0 - s) + hit * s
+        uv, inb = _project_to_uv(view.world_to_clip, p)
+        z_e = -(wv[2, 0] * p[..., 0] + wv[2, 1] * p[..., 1]
+                + wv[2, 2] * p[..., 2] + wv[2, 3])
+        z_s = im.sample_nearest(vz_h[..., None], uv)[..., 0]
+        rel = (z_e - z_s) / jnp.maximum(z_s, 1e-4)
+        occ = occ | (inb & (rel > 0.05) & (rel < 0.6))
+    return occ
+
+
 def _geo_weight(vz, vz_n, n, n_n):
     w_z = (jnp.abs(vz - vz_n) / (0.1 * vz + 1e-4)) < 1.0
     w_n = jnp.sum(n * n_n, axis=-1) > 0.7
@@ -113,11 +135,19 @@ def _geo_weight(vz, vz_n, n, n_n):
 
 
 def restir_diffuse(state, candidates, gb_h, reproj, frame_idx,
-                   ssao_h=None, near: float = 0.01):
+                   ssao_h=None, near: float = 0.01, view=None,
+                   occlusion_samples: int = 2):
     """Temporal + 2 spatial reservoir passes at half res.
 
     candidates: dict from rtdgi.trace_candidates. Returns (reservoir dict
-    for resolve, new flat state)."""
+    for resolve, new flat state).
+
+    view + occlusion_samples > 0 enable the final spatial pass's
+    screen-space occlusion raymarch (`restir_spatial.hlsl`'s
+    `occlusion_raymarch`): sample points along the receiver->hit segment
+    are depth-tested against the half-res z buffer and occluded taps are
+    rejected, cutting the light leaks that bare reservoir reuse lets
+    through walls."""
     hh, hw = gb_h["hit"].shape
     n = gb_h["normal"]
     pos = gb_h["pos"]
@@ -216,6 +246,10 @@ def restir_diffuse(state, candidates, gb_h, reproj, frame_idx,
             dx = jnp.round(jnp.cos(ang) * r).astype(jnp.int32)
             nb, n_nb, vz_nb, pos_nb = unpack(tsp.tile_shift(packed, dy, dx))
             ok = _geo_weight(vz, vz_nb, n, n_nb) & candidates["valid"]
+            # final pass: screen-space occlusion raymarch toward the hit
+            if pass_idx == 1 and view is not None and occlusion_samples > 0:
+                ok = ok & ~_occluded(pos, nb["payload"]["hit"], vz, view,
+                                     near, occlusion_samples)
             # reconnection: the neighbor's hit sample evaluated FROM our
             # surface — direction re-derived, density moved by the jacobian
             p_hat_nb = _p_hat_at(nb["payload"], pos, n)

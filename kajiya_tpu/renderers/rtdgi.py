@@ -152,7 +152,8 @@ def rtdgi_pipeline(ts, gb, view, frame_idx, state, reproj, sky_env,
 
         res, new_restir_state = restir_gi.restir_diffuse(
             restir_state, candidates, gb_h, reproj, frame_idx,
-            ssao_h=None if ssao is None else im.decimate2(ssao))
+            ssao_h=None if ssao is None else im.decimate2(ssao),
+            view=view)
         full = restir_gi.resolve(res, gb)
     else:
         new_restir_state = restir_state

@@ -100,7 +100,11 @@ def ssao_pipeline(gb, view, frame_idx, state, reproj, near: float = 0.01):
     h, w = gb["depth"].shape
     ao_h = ssao_half(gb, view, frame_idx, near)
     ao_h = im.separable_blur(ao_h, im.GAUSS5)          # ssgi/spatial_filter.hlsl
-    ao = im.upsample_bilinear(ao_h, h, w)              # ssgi/upsample.hlsl
+    # depth/normal-aware upsample (ssgi/upsample.hlsl): plain bilinear
+    # halos AO across depth edges, which then mis-guides RTDGI's filters
+    from .rtdgi import _edge_aware_upsample
+
+    ao = _edge_aware_upsample(ao_h[..., None], gb)[..., 0]
     prev = reproject_image(state["ssao_history"],
                            reproj, fallback=ao)        # ssgi/temporal_filter.hlsl
     out = prev * 0.85 + ao * 0.15

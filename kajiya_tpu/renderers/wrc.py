@@ -21,7 +21,7 @@ from ..sky.env import oct_decode, oct_encode
 @dataclass(frozen=True)
 class WrcConfig:
     grid: tuple = (8, 3, 8)         # wrc.rs probe grid dims
-    probe_res: int = 16             # reference uses 32^2; 16^2 default here
+    probe_res: int = 32             # 32^2 octahedral probes (`wrc.rs:14`)
     grid_spacing: float = 2.0
     grid_origin: tuple = (-8.0, 0.5, -8.0)
 

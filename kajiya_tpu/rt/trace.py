@@ -164,7 +164,15 @@ def _use_pallas(ts) -> bool:
     scene build runs eagerly on the CPU backend (`world.py::build_trace_scene`)
     while the frame jit targets the accelerator, so `jax.devices()[0]` says
     nothing about where *these* arrays are. Inside jit the arrays are tracers
-    with no committed device — there the jit's backend (default) decides."""
+    with no committed device — there the jit's backend (default) decides.
+
+    KAJIYA_NO_PALLAS_TRACE=1 forces the XLA path — the escape hatch for
+    libtpu builds whose Mosaic pipeline rejects the streaming kernels
+    (bench falls back to it rather than losing the datum)."""
+    import os
+
+    if os.environ.get("KAJIYA_NO_PALLAS_TRACE"):
+        return False
     arr = ts.woop["a_d"] if isinstance(ts.woop, dict) else None
     devices = getattr(arr, "devices", None)
     if callable(devices):

@@ -9,9 +9,11 @@ idiomatic equivalent is decode-at-bake into a fixed-size TEXTURE PAGE ARRAY:
 
 Images keep detail through SIZE BUCKETS (cf. the reference's native-res
 mips, `image.rs:252-277`): each image is resized to the nearest bucket
-(128 / 256 / 512) and shelf-packed into a 512^2 page as a subregion, with a
+(128 ... 2048) and shelf-packed into a page as a subregion, with a
 per-slot (page, size, ox, oy) table. One gather stream serves all sizes —
-no per-bucket branching in the sampler.
+no per-bucket branching in the sampler. The page size ADAPTS to the
+largest bucket the scene actually uses (512 minimum), so a test scene
+stays small while production 2k textures keep native detail.
 
 Storage is RAW uint8 (exactly the source precision, 4x less gather traffic
 than f32). Color-space handling is PER SLOT at fetch time: base color and
@@ -32,9 +34,9 @@ import io
 import jax.numpy as jnp
 import numpy as np
 
-PAGE_SIZE = 512
-N_MIPS = 6          # 512 -> 16
-BUCKETS = (512, 256, 128)
+PAGE_SIZE = 512     # minimum page size; grows to the largest used bucket
+N_MIPS = 6          # 512 -> 16; scales with the page (mip floor stays 16)
+BUCKETS = (2048, 1024, 512, 256, 128)
 
 
 def _decode_image(path_or_data: str) -> np.ndarray:
@@ -66,8 +68,8 @@ def _bucket_for(h: int, w: int) -> int:
     return BUCKETS[0]
 
 
-def build_texture_pages(image_sources, page_size: int = PAGE_SIZE,
-                        n_mips: int = N_MIPS):
+def build_texture_pages(image_sources, page_size: int | None = None,
+                        n_mips: int | None = None):
     """Decode + bucket-resize + shelf-pack + mip a list of image
     paths/data-URIs.
 
@@ -75,13 +77,23 @@ def build_texture_pages(image_sources, page_size: int = PAGE_SIZE,
       pages: list over mips of (N, s, s, 4) uint8 jnp arrays
       page_sub: (P, 4) int32 [page, size, ox, oy] per image slot; slot 0 is
         a full-page white texture (material slot -1 redirects there).
-    Mips are 2x2 box averages of the raw values."""
-    imgs = [np.full((page_size, page_size, 4), 255, np.uint8)]
+    Mips are 2x2 box averages of the raw values. page_size defaults to the
+    largest bucket actually used (>= PAGE_SIZE); n_mips to log2(page/16)+1
+    so the mip floor stays 16^2 regardless of page size."""
+    decoded = []
     for src in image_sources:
         try:
             img = _decode_image(src)
         except Exception:
             img = np.full((4, 4, 4), 255, np.uint8)
+        decoded.append(img)
+    if page_size is None:
+        page_size = max([PAGE_SIZE] + [_bucket_for(*d.shape[:2])
+                                       for d in decoded])
+    if n_mips is None:
+        n_mips = int(np.log2(page_size // 16)) + 1
+    imgs = [np.full((page_size, page_size, 4), 255, np.uint8)]
+    for img in decoded:
         b = _bucket_for(*img.shape[:2])
         imgs.append(_resize(img, b))
 

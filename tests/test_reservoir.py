@@ -144,3 +144,33 @@ class TestRestirGiIntegration:
         # with our luminance-target all-equal candidates W = pi*lum/(M*lum)/..
         inner = out[4:-4, 4:-4]
         assert np.allclose(inner, L, rtol=5e-2), (inner.mean(), L)
+
+
+class TestOcclusionRaymarch:
+    def test_blocked_segment_detected(self):
+        """A receiver at the origin reusing a hit sample behind a nearby
+        wall: the screen-space raymarch must flag it; an unobstructed
+        segment must pass (restir_spatial.hlsl occlusion_raymarch)."""
+        import kajiya_tpu.renderers.restir_gi as rg
+        from kajiya_tpu.core.camera import make_view_constants
+
+        hh, hw = 24, 32
+        view = make_view_constants((0, 0, 3.0), (0, 0, -1), fov_y_deg=60.0,
+                                   width=2 * hw, height=2 * hh)
+        # receivers on a plane at z=0 (viewed from z=3)
+        pos = jnp.zeros((hh, hw, 3), jnp.float32)
+        # z buffer says: everything at view distance 3 (the z=0 plane) EXCEPT
+        # a band of columns where a wall sits at view distance 1.5 (z=1.5)
+        vz = jnp.full((hh, hw), 3.0, jnp.float32)
+        vz = vz.at[:, 12:20].set(1.5)
+        # hit point straight toward the camera at z=2 for lanes whose
+        # segment midpoint projects into the wall band -> occluded there
+        hit = jnp.tile(jnp.asarray([0.0, 0.0, 2.0]), (hh, hw, 1))
+        occ = np.asarray(rg._occluded(pos, hit, vz, view, 0.01, 2))
+        # the straight-ahead segment projects to the image centre column
+        # (inside the wall band): occluded
+        assert occ[hh // 2, hw // 2]
+        # a segment toward a hit far to the right of the wall band: clear
+        hit2 = jnp.tile(jnp.asarray([2.5, 0.0, 1.0]), (hh, hw, 1))
+        occ2 = np.asarray(rg._occluded(pos, hit2, vz, view, 0.01, 2))
+        assert not occ2[hh // 2, hw - 4]

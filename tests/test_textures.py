@@ -35,9 +35,12 @@ class TestPages:
             paths.append(_save_png(img, f"/tmp/_tex_b{i}.png"))
         pages, sub = build_texture_pages(paths)
         sub = np.asarray(sub)
-        # slot 0 = white page; then: 1024->512, 300->512, 100->128, 64->128
-        assert sub[1, 1] == 512 and sub[2, 1] == 512
+        # slot 0 = white page; buckets keep native detail: 1024 stays 1024
+        # (the page grows to match), 300->512, 100->128, 64->128
+        assert sub[1, 1] == 1024 and sub[2, 1] == 512
         assert sub[3, 1] == 128 and sub[4, 1] == 128
+        assert pages[0].shape[1] == 1024          # adaptive page size
+        assert pages[-1].shape[1] == 16           # mip floor stays 16^2
         # subregions within a page must not overlap
         boxes = {}
         for p, size, ox, oy in sub:
