@@ -378,21 +378,35 @@ def _smoothstep(lo, hi, x):
     return t * t * (3.0 - 2.0 * t)
 
 
-def resolve(reservoir, gb, near: float = 0.01):
+NEAR_FIELD_RADIUS_PX = 80.0   # `rtdgi/near_field_settings.hlsl`
+
+
+def resolve(reservoir, gb, candidates=None, ssao=None, near: float = 0.01):
     """Half-res reservoirs -> full-res E/pi (restir_resolve.hlsl): 4-tap
     joint-bilateral footprint; each reservoir contributes its estimator
     L * cos(n_full, dir) * W, with the direction re-derived from the
     full-res surface point and the reconnection jacobian applied (the
     half->full offset is itself a (small) parallax shift).
 
+    Near/far split (restir_resolve.hlsl:71-118 + near_field_settings):
+    reservoir samples whose hit lies inside the near-field radius (80 px
+    scaled by view depth) fade out and the pixel's OWN candidate ray covers
+    that range instead — reused near hits have the wrong parallax/visibility
+    at the receiver, so contact GI comes from the correctly-traced current
+    sample. The split is modulated by SSAO ("near_field_influence"): in
+    open areas the near field carries no energy and the (noisier) candidate
+    term stays off. Enabled when `candidates`+`ssao` are passed.
+
     PHASE-MAJOR: instead of weaving half-res planes x 4 taps to full res
     (20+ interleave chains, ~25 ms at 1080p), compute each of the 4 output
     phases entirely at half res — every tap is then a static +-1 shift of
     a half-res plane with a CONSTANT bilinear weight — and weave the
     finished radiance once at the end (bit-identical, ~3x faster)."""
+    full_h = gb["depth"].shape[0]
     vz_ph = im.phase_split(near / jnp.maximum(gb["depth"], 1e-12))
     n_ph = im.phase_split(gb["normal"])
     pos_ph = im.phase_split(gb["pos"])
+    ssao_ph = im.phase_split(ssao) if ssao is not None else None
     # the half-res lattice samples full-res phase (0, 0)
     vz_h = vz_ph[0][0]
     n_h = n_ph[0][0]
@@ -401,6 +415,7 @@ def resolve(reservoir, gb, near: float = 0.01):
     hit_res = reservoir["payload"]["hit"]
     hitn_res = reservoir["payload"]["hitn"]
     w_res = reservoir["W"]
+    split = candidates is not None and ssao is not None
 
     out_ph = [[None, None], [None, None]]
     for py in (0, 1):
@@ -408,6 +423,14 @@ def resolve(reservoir, gb, near: float = 0.01):
             vz = vz_ph[py][px]
             nf = n_ph[py][px]
             pf = pos_ph[py][px]
+            # near-field window scales with view depth and pixel footprint
+            nf_end = vz * (NEAR_FIELD_RADIUS_PX / full_h * 0.5)
+            nf_start = nf_end * 0.5
+            # near_field_influence = the AO value itself
+            # (restir_resolve.hlsl:77): where AO says "open", reused near
+            # hits are most likely parallax-wrong, so the candidate takes
+            # over; in deep corners the reservoirs keep full weight
+            infl = ssao_ph[py][px] if split else None
             acc = jnp.zeros_like(rad_res)
             accw = jnp.zeros_like(w_res)
             for ky in (0, 1):
@@ -423,13 +446,25 @@ def resolve(reservoir, gb, near: float = 0.01):
                     hits = im.shift2d(hit_res, dy, dx)
                     hitns = im.shift2d(hitn_res, dy, dx)
                     owner_pos = im.shift2d(pos_h, dy, dx)
-                    dirs, _ = _reconnect(hits, pf)
+                    dirs, dist = _reconnect(hits, pf)
                     cosf = jnp.maximum(jnp.sum(dirs * nf, axis=-1), 0.0)
                     jac = _jacobian(hits, hitns, owner_pos, pf)
                     ww = im.shift2d(w_res, dy, dx)
                     rad = im.shift2d(rad_res, dy, dx)
-                    acc = acc + rad * (cosf * jac * ww * wt)[..., None]
+                    contrib = cosf * jac * ww
+                    if split:
+                        far = _smoothstep(nf_start, nf_end, dist)
+                        contrib = contrib * (1.0 + (far - 1.0) * infl)
+                    acc = acc + rad * (contrib * wt)[..., None]
                     accw = accw + wt
             # estimator integrates L cos / pdf == pi * E/pi; divide by pi
-            out_ph[py][px] = acc / accw[..., None] / jnp.pi
+            e_over_pi = acc / accw[..., None] / jnp.pi
+            if split:
+                # the pixel's own candidate covers the faded-out near field
+                # (cosine-sampled: its E/pi estimate IS the radiance)
+                cdir, cdist = _reconnect(candidates["hit_pos"], pf)
+                near_w = _smoothstep(nf_end, nf_start, cdist) * infl
+                near_w = jnp.where(candidates["valid"], near_w, 0.0)
+                e_over_pi = e_over_pi + candidates["radiance"] * near_w[..., None]
+            out_ph[py][px] = e_over_pi
     return im.weave2x2(out_ph)

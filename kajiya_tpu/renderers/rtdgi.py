@@ -154,7 +154,16 @@ def rtdgi_pipeline(ts, gb, view, frame_idx, state, reproj, sky_env,
             restir_state, candidates, gb_h, reproj, frame_idx,
             ssao_h=None if ssao is None else im.decimate2(ssao),
             view=view)
-        full = restir_gi.resolve(res, gb)
+        # the near/far split is SCREEN-SPACE by construction (an 80 px
+        # near-field window, `near_field_settings.hlsl`): at production
+        # resolutions it covers true contact scale, but below ~480 rows it
+        # would swallow whole test scenes and push the emitter's energy
+        # onto the unsmoothed 1-spp candidate term — so it engages only at
+        # real resolutions
+        split = gb["depth"].shape[0] >= 480
+        full = restir_gi.resolve(res, gb,
+                                 candidates=candidates if split else None,
+                                 ssao=ssao if split else None)
     else:
         new_restir_state = restir_state
         # spatial pre-filter at half res (smoothing role of the ReSTIR

@@ -174,3 +174,53 @@ class TestOcclusionRaymarch:
         hit2 = jnp.tile(jnp.asarray([2.5, 0.0, 1.0]), (hh, hw, 1))
         occ2 = np.asarray(rg._occluded(pos, hit2, vz, view, 0.01, 2))
         assert not occ2[hh // 2, hw - 4]
+
+
+class TestNearFarSplit:
+    def _setup(self, hit_dist):
+        import kajiya_tpu.renderers.restir_gi as rg
+
+        h = w = 32
+        hh, hw = h // 2, w // 2
+        up = jnp.tile(jnp.asarray([0.0, 1.0, 0.0]), (hh, hw, 1))
+        res = {
+            "payload": {"radiance": jnp.full((hh, hw, 3), 0.5),
+                        "hit": up * hit_dist,
+                        "hitn": -up},
+            "w_sum": jnp.full((hh, hw), jnp.pi * 0.5),
+            "M": jnp.ones((hh, hw)),
+            "W": jnp.full((hh, hw), jnp.pi),
+            "p_hat": jnp.full((hh, hw), 0.5),
+        }
+        gb = {
+            "depth": jnp.full((h, w), 0.01 / 3.0),   # vz = 3
+            "normal": jnp.tile(jnp.asarray([0.0, 1.0, 0.0]), (h, w, 1)),
+            "pos": jnp.zeros((h, w, 3)),
+        }
+        cand = {
+            "radiance": jnp.full((hh, hw, 3), 0.8),
+            "hit_pos": up * hit_dist,
+            "hit_normal": -up,
+            "valid": jnp.ones((hh, hw), bool),
+        }
+        return rg, res, gb, cand
+
+    def test_far_hits_unchanged(self):
+        """Hits far beyond the near-field window: split output == no-split
+        output (the reservoir path carries everything)."""
+        rg, res, gb, cand = self._setup(hit_dist=100.0)
+        a = np.asarray(rg.resolve(res, gb))
+        b = np.asarray(rg.resolve(res, gb, candidates=cand,
+                                  ssao=jnp.ones((32, 32))))
+        assert np.allclose(a, b, atol=1e-5)
+
+    def test_near_hits_covered_by_candidate(self):
+        """Hits fully inside the near field with AO=1: reservoirs fade out
+        and the candidate term takes over — the output moves to the
+        candidate's radiance, not to zero (no energy hole)."""
+        rg, res, gb, cand = self._setup(hit_dist=0.05)
+        # window: vz=3, h=32 -> nf_end = 3 * 80/32 * 0.5 = 3.75 >> 0.05
+        out = np.asarray(rg.resolve(res, gb, candidates=cand,
+                                    ssao=jnp.ones((32, 32))))
+        inner = out[8:-8, 8:-8]
+        assert np.allclose(inner, 0.8, atol=5e-2), inner.mean()
