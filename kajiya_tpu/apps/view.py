@@ -68,6 +68,10 @@ def main(argv=None):
     p.add_argument("--ev", type=float, default=0.0)
     p.add_argument("--dump-every", type=int, default=0,
                    help="if >0, write every Nth frame")
+    p.add_argument("--watch", action="store_true",
+                   help="hot reload: re-trace the frame when kajiya_tpu "
+                        "modules are edited (shader-reload analog; temporal "
+                        "state survives, failures keep the last good frame)")
     p.add_argument("--animate", type=int, default=0, metavar="N",
                    help="render an N-frame animated sequence: keyframed "
                         "orbit camera through the smoothed rig, a moving "
@@ -108,8 +112,15 @@ def main(argv=None):
     elif args.animate:
         out = _run_animated(r, args, jnp)
     else:
+        watcher = None
+        if args.watch:
+            from ..core.reload import ModuleWatcher
+
+            watcher = ModuleWatcher()
         out = None
         for i in range(args.frames):
+            if watcher is not None and watcher.poll():
+                r.rebuild()        # re-trace with the freshly reloaded code
             view = make_view_constants(
                 cam_pos, cam_dir, fov_y_deg=args.fov,
                 width=args.width, height=args.height,

@@ -423,18 +423,33 @@ class Renderer:
             from .sky.ibl import load_ibl_env
 
             self.ibl_env = load_ibl_env(ibl)
-        levels = self.levels
-        ibl_env = self.ibl_env
+        self._last_good = None
+        self._last_error = None
+        self.rebuild()
+
+    def rebuild(self):
+        """(Re)build the jitted frame closure from the CURRENT pass modules.
+
+        Hot reload (`core/reload.py`): after `ModuleWatcher.poll()` reloads
+        edited modules, calling rebuild re-traces the frame against the
+        fresh code — the jit-cache-invalidation analog of the reference's
+        stale-pipeline recompile (`pipeline_cache.rs:229-392`). FrameState
+        (all temporal arrays) is untouched, mirroring the temporal-resource
+        rescue in `renderer.rs:466-497`."""
+        import importlib
+
+        cfg, levels, ibl_env = self.cfg, self.levels, self.ibl_env
 
         def _frame(ts, state, view):
-            return render_frame(ts, state, view, cfg, levels=levels,
-                                ibl_env=ibl_env)
+            # late-bind through sys.modules so a reloaded kajiya_tpu.frame
+            # (and everything it imports) is what gets traced
+            fm = importlib.import_module("kajiya_tpu.frame")
+            return fm.render_frame(ts, state, view, cfg, levels=levels,
+                                   ibl_env=ibl_env)
 
         from .ops.hoist import jit_hoisted
 
         self._frame = jit_hoisted(_frame)
-        self._last_good = None
-        self._last_error = None
 
     def draw(self, view: ViewConstants):
         """Render one frame, advancing temporal state. Returns outputs dict.

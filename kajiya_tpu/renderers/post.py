@@ -132,20 +132,90 @@ def _blur3(img):
 # Display transform
 # ----------------------------------------------------------------------------
 
+# Oklab (Björn Ottosson's published matrices) — the perceptual space for
+# the hue-preserving path-to-white (the reference selects IPT/Oklab/ICtCp;
+# `display_transform.hlsl:30-31`)
+_OKLAB_M1 = jnp.array([[0.4122214708, 0.5363325363, 0.0514459929],
+                       [0.2119034982, 0.6806995451, 0.1073969566],
+                       [0.0883024619, 0.2817188376, 0.6299787005]])
+_OKLAB_M2 = jnp.array([[0.2104542553, 0.7936177850, -0.0040720468],
+                       [1.9779984951, -2.4285922050, 0.4505937099],
+                       [0.0259040371, 0.7827717662, -0.8086757660]])
+
+
+import numpy as _np
+
+_OKLAB_M2_INV = jnp.asarray(_np.linalg.inv(_np.asarray(_OKLAB_M2)))
+_OKLAB_M1_INV = jnp.asarray(_np.linalg.inv(_np.asarray(_OKLAB_M1)))
+
+
+def _srgb_to_oklab(rgb):
+    from ..ops.smallvec import matvec
+
+    lms = jnp.cbrt(matvec(_OKLAB_M1, jnp.maximum(rgb, 0.0)))
+    return matvec(_OKLAB_M2, lms)
+
+
+def _oklab_to_srgb(lab):
+    from ..ops.smallvec import matvec
+
+    lms = matvec(_OKLAB_M2_INV, lab) ** 3
+    return matvec(_OKLAB_M1_INV, lms)
+
+
 def tonemap_filmic(x):
-    """Neutral filmic curve (role of `inc/color/display_transform.hlsl`,
-    the notorious6-derived transform): shoulder + toe, hue-preserving via
-    max-channel normalization."""
-    peak = jnp.max(x, axis=-1, keepdims=True)
-    peak_safe = jnp.maximum(peak, 1e-8)
-    ratio = x / peak_safe
-    # Reinhard-like shoulder on the peak channel with a toe
-    p = peak_safe
-    mapped = p * (1.0 + p / 4.0) / (1.0 + p)
-    # desaturate very bright pixels toward white (path-to-white)
-    desat = jnp.clip((mapped - 0.8) / 0.6, 0.0, 1.0) ** 2
-    ratio = ratio + (1.0 - ratio) * desat
-    return jnp.clip(mapped * ratio, 0.0, 1.0)
+    """Display transform following the notorious6 structure
+    (`inc/color/display_transform.hlsl:67-218`, synced by the reference
+    from the notorious6 project):
+
+      1. brightness compressed with the Siragusano/Smith flare-compensated
+         Reinhard `1.0205 * (v / (v + 1))^1.2` (open-display-transform
+         tonescale);
+      2. chromaticity preserved: the max-intensity stimulus of the same
+         chromaticity is scaled to the compressed luminance;
+      3. progressive highlight desaturation ("path to white") traced in
+         Oklab so hue holds under the Abney effect, with the chroma
+         attenuation exponent lerped 4 -> 3 by chroma strength
+         (CHROMA_ATTENUATION_* constants);
+      4. a per-channel p=12 soft roll-off absorbs residual out-of-gamut
+         energy, rescaled so neutrals still reach 100% white.
+
+    Simplifications vs the reference: plain luminance instead of the
+    Helmholtz-Kohlrausch equivalent luminance, and single-pass (no
+    brightness-matching iteration)."""
+    from ..core.color import luminance
+
+    eps = 1e-8
+    lum = jnp.maximum(luminance(x), 0.0)
+    peak = jnp.maximum(jnp.max(x, axis=-1), eps)
+    max_rgb = jnp.maximum(x, 0.0) / peak[..., None]
+    max_lum = jnp.maximum(luminance(max_rgb), eps)
+
+    # 1. Siragusano/Smith tonescale on luminance
+    compressed = jnp.clip(1.0205 * (lum / (lum + 1.0)) ** 1.2, 0.0, 1.0)
+
+    # 2. chromatic stimulus scaled to the compressed brightness
+    out = max_rgb * (compressed / max_lum)[..., None]
+    white = jnp.minimum(compressed, 1.0)
+
+    # 3. chroma attenuation toward white, traced in Oklab
+    #    (START=0, BIAS=1.03, exponent in [3,4] by chroma strength)
+    sat = jnp.max(max_rgb, axis=-1) - jnp.min(max_rgb, axis=-1)
+    expo = 4.0 - sat * 0.4 * (4.0 - 3.0)
+    t = jnp.clip(compressed / 1.03, 0.0, 1.0)
+    atten = t ** expo
+    lab = _srgb_to_oklab(out)
+    lab_w = _srgb_to_oklab(jnp.repeat(white[..., None], 3, -1))
+    out = _oklab_to_srgb(lab + (lab_w - lab) * atten[..., None])
+
+    # 4. per-channel soft roll-off (p=12) + neutral-reach rescale
+    out = jnp.maximum(out, 0.0)
+    p = 12.0
+    out = out * (out ** p + 1.0) ** (-1.0 / p)
+    max_c = jnp.max(out, axis=-1)
+    max_dist = max_c - jnp.min(out, axis=-1)
+    out = out / ((0.5 + 0.5 * max_dist) ** (1.0 / p))[..., None]
+    return jnp.clip(out, 0.0, 1.0)
 
 
 def cas_sharpen(img, amount: float = 0.4):

@@ -40,7 +40,10 @@ BUCKETS = (2048, 1024, 512, 256, 128)
 
 
 def _decode_image(path_or_data: str) -> np.ndarray:
-    """-> (H, W, 4) uint8, raw values (no color-space conversion)."""
+    """-> (H, W, 4) uint8, raw values (no color-space conversion).
+    PNG/JPG/HDR-LDR/DDS (incl. DXT1/3/5 + uncompressed via PIL's DDS
+    plugin — the reference's `image.rs:290-340` DDS path; BC blocks are
+    decoded at bake since TPUs have no texture units)."""
     from PIL import Image
 
     if path_or_data.startswith("data:"):

@@ -124,3 +124,123 @@ class TestPostPasses:
         flat = jnp.full((32, 32, 3), 0.5)
         out = np.asarray(cas_sharpen(flat))
         np.testing.assert_allclose(out, 0.5, atol=1e-4)
+
+
+class TestHotReload:
+    def test_watcher_reloads_edited_module(self, tmp_path):
+        """Edit a watched module -> poll() reloads it and new code is live
+        (the shader hot-reload analog, core/reload.py)."""
+        import sys
+        import time
+
+        pkg = tmp_path / "hotpkg"
+        pkg.mkdir()
+        (pkg / "__init__.py").write_text("")
+        (pkg / "leaf.py").write_text("VALUE = 1\n")
+        sys.path.insert(0, str(tmp_path))
+        try:
+            import hotpkg.leaf as leaf
+
+            from kajiya_tpu.core.reload import ModuleWatcher
+
+            w = ModuleWatcher(package="hotpkg")
+            assert w.poll() == []                 # nothing edited
+            time.sleep(0.05)
+            (pkg / "leaf.py").write_text("VALUE = 2\n")
+            os_utime_bump = (pkg / "leaf.py")
+            import os as _os
+            _os.utime(os_utime_bump, (time.time() + 2, time.time() + 2))
+            changed = w.poll()
+            assert "hotpkg.leaf" in changed
+            assert leaf.VALUE == 2                # reload updated in place
+        finally:
+            sys.path.remove(str(tmp_path))
+            for m in [m for m in sys.modules if m.startswith("hotpkg")]:
+                del sys.modules[m]
+
+    def test_watcher_survives_broken_edit(self, tmp_path):
+        import sys
+        import time
+        import os as _os
+
+        pkg = tmp_path / "hotpkg2"
+        pkg.mkdir()
+        (pkg / "__init__.py").write_text("")
+        (pkg / "leaf.py").write_text("VALUE = 1\n")
+        sys.path.insert(0, str(tmp_path))
+        try:
+            import hotpkg2.leaf as leaf
+
+            from kajiya_tpu.core.reload import ModuleWatcher
+
+            w = ModuleWatcher(package="hotpkg2")
+            (pkg / "leaf.py").write_text("VALUE = (\n")    # syntax error
+            _os.utime(pkg / "leaf.py", (time.time() + 2, time.time() + 2))
+            assert w.poll() == []                  # reported, not reloaded
+            assert leaf.VALUE == 1                 # old code still live
+        finally:
+            sys.path.remove(str(tmp_path))
+            for m in [m for m in sys.modules if m.startswith("hotpkg2")]:
+                del sys.modules[m]
+
+    def test_renderer_rebuild_preserves_state_and_output(self):
+        """rebuild() re-traces but FrameState carries over: a run with a
+        mid-stream rebuild is bit-identical to an uninterrupted one."""
+        import jax
+        import numpy as np
+        from kajiya_tpu.core.camera import make_view_constants
+        from kajiya_tpu.frame import RenderConfig, Renderer
+        from kajiya_tpu.scene.procedural import cornell_box
+
+        cfg = RenderConfig(width=32, height=24, max_trace_steps=64,
+                           use_taa=False, use_motion_blur=False,
+                           use_ircache=False, use_rtr=False)
+        view = make_view_constants((0, 0, 2.4), (0, 0, -1), width=32,
+                                   height=24)
+
+        r1 = Renderer(cornell_box(), cfg)
+        a = r1.draw(view)
+        r1.rebuild()                               # jit invalidation
+        a2 = r1.draw(view)
+
+        r2 = Renderer(cornell_box(), cfg)
+        b = r2.draw(view)
+        b2 = r2.draw(view)
+        np.testing.assert_allclose(np.asarray(a2["final"]),
+                                   np.asarray(b2["final"]), atol=1e-6)
+
+
+class TestDisplayTransform:
+    def test_neutral_stays_neutral_and_reaches_white(self):
+        from kajiya_tpu.renderers.post import tonemap_filmic
+
+        g = jnp.repeat(jnp.asarray([0.0, 0.18, 1.0, 20.0, 1e4])[:, None], 3, 1)
+        out = np.asarray(tonemap_filmic(g))
+        assert np.isfinite(out).all()
+        # neutral in -> neutral out
+        assert np.abs(out - out.mean(-1, keepdims=True)).max() < 2e-2
+        assert out[0].max() < 1e-5              # black stays black
+        assert out[-1].min() > 0.97             # hot whites reach ~1
+        # monotone in luminance
+        assert (np.diff(out.mean(-1)) > -1e-6).all()
+
+    def test_bright_saturated_desaturates(self):
+        """Path-to-white: a hot pure red must gain G/B (desaturate toward
+        white) while a dim red stays saturated — the behavior the
+        notorious6 chroma attenuation exists for."""
+        from kajiya_tpu.renderers.post import tonemap_filmic
+
+        reds = jnp.asarray([[0.2, 0.0, 0.0], [50.0, 0.0, 0.0]])
+        out = np.asarray(tonemap_filmic(reds))
+        sat = lambda c: (c.max() - c.min()) / max(c.max(), 1e-6)
+        assert sat(out[0]) > 0.9                # dim: still pure red
+        assert sat(out[1]) < 0.65, out[1]       # hot: pulled toward white
+        assert out[1, 0] > out[1, 1] >= 0.0     # but hue ordering kept
+
+    def test_hue_preserved_midrange(self):
+        from kajiya_tpu.renderers.post import tonemap_filmic
+
+        c = jnp.asarray([[0.4, 0.2, 0.1]])
+        out = np.asarray(tonemap_filmic(c))[0]
+        assert out[0] > out[1] > out[2] > 0.0
+        assert (out >= 0).all() and (out <= 1).all()

@@ -147,3 +147,20 @@ class TestSceneIntegration:
         assert gpu.mat_tex is not None
         assert gpu.page_sub is not None
         assert gpu.page_sub.shape[0] > 1          # at least one real texture
+
+
+class TestDds:
+    def test_dds_source_decodes(self):
+        """DDS image sources load through the page builder (the reference's
+        image.rs DDS passthrough; decoded to dense pages at bake)."""
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 255, (64, 64, 4), dtype=np.uint8)
+        from PIL import Image
+        Image.fromarray(img).save("/tmp/_tex_dds.dds")
+        pages, sub = build_texture_pages(["/tmp/_tex_dds.dds"])
+        sub = np.asarray(sub)
+        assert sub[1, 1] == 128          # 64 -> bucket 128
+        p, size, ox, oy = sub[1]
+        got = np.asarray(pages[0])[p, oy:oy + size, ox:ox + size]
+        # resized content, not the white fallback
+        assert got.std() > 20
