@@ -106,25 +106,40 @@ def _p_hat_at(payload, pos, normal):
         jnp.sum(direction * normal, axis=-1), 0.0)
 
 
-def _occluded(pos, hit, vz_h, view, near, samples):
+def _occluded(pos, hit, vz_h, view, near, samples, max_px: float = 8.0):
     """Screen-space occlusion raymarch along the receiver->hit segment
     (`restir_spatial.hlsl` occlusion_raymarch): depth-test a few interior
     points against the half-res z buffer; a surface in front of the segment
     (within a relative thickness window, so distant foreground objects do
-    not false-positive) marks the reused sample occluded."""
+    not false-positive) marks the reused sample occluded.
+
+    TPU shape: the march is CLAMPED to `max_px` screen pixels from the
+    receiver. The occluders that matter are local (the sample came from a
+    <=12 px spatial kernel), and the bound makes every depth fetch satisfy
+    the Pallas warp kernel's locality contract — `samples` MXU passes
+    instead of XLA serial gathers (~6x cheaper at 1080p)."""
     from .hit_lighting import _project_to_uv
 
-    occ = jnp.zeros(vz_h.shape, bool)
+    hh, hw = vz_h.shape
+    uv0 = im.pixel_uv(hh, hw)
+    z0 = vz_h
+    uv1, inb1 = _project_to_uv(view.world_to_clip, hit)
     wv = view.world_to_view
+    z1 = -(wv[2, 0] * hit[..., 0] + wv[2, 1] * hit[..., 1]
+           + wv[2, 2] * hit[..., 2] + wv[2, 3])
+    delta = uv1 - uv0
+    px_len = jnp.sqrt((delta[..., 0] * hw) ** 2 + (delta[..., 1] * hh) ** 2)
+    scale = jnp.minimum(1.0, max_px / jnp.maximum(px_len, 1e-6))
+
+    occ = jnp.zeros((hh, hw), bool)
     for i in range(samples):
         s = (i + 1.0) / (samples + 1.0)
-        p = pos * (1.0 - s) + hit * s
-        uv, inb = _project_to_uv(view.world_to_clip, p)
-        z_e = -(wv[2, 0] * p[..., 0] + wv[2, 1] * p[..., 1]
-                + wv[2, 2] * p[..., 2] + wv[2, 3])
-        z_s = im.sample_nearest(vz_h[..., None], uv)[..., 0]
+        uv = uv0 + delta * (scale * s)[..., None]
+        # view-z approximately linear along the clamped screen segment
+        z_e = z0 + (z1 - z0) * scale * s
+        z_s = im.warp_nearest(vz_h[..., None], jnp.clip(uv, 0.0, 1.0))[..., 0]
         rel = (z_e - z_s) / jnp.maximum(z_s, 1e-4)
-        occ = occ | (inb & (rel > 0.05) & (rel < 0.6))
+        occ = occ | (inb1 & (rel > 0.05) & (rel < 0.6))
     return occ
 
 

@@ -148,32 +148,30 @@ class TestRestirGiIntegration:
 
 class TestOcclusionRaymarch:
     def test_blocked_segment_detected(self):
-        """A receiver at the origin reusing a hit sample behind a nearby
-        wall: the screen-space raymarch must flag it; an unobstructed
-        segment must pass (restir_spatial.hlsl occlusion_raymarch)."""
+        """A receiver reusing a hit sample whose screen segment crosses a
+        closer surface in the z buffer: the bounded raymarch must flag it;
+        with no occluder the segment passes (restir_spatial.hlsl
+        occlusion_raymarch, clamped to ~8 px of locality)."""
         import kajiya_tpu.renderers.restir_gi as rg
         from kajiya_tpu.core.camera import make_view_constants
 
         hh, hw = 24, 32
         view = make_view_constants((0, 0, 3.0), (0, 0, -1), fov_y_deg=60.0,
                                    width=2 * hw, height=2 * hh)
-        # receivers on a plane at z=0 (viewed from z=3)
+        # receivers on the z=0 plane (view depth 3); z buffer agrees...
         pos = jnp.zeros((hh, hw, 3), jnp.float32)
-        # z buffer says: everything at view distance 3 (the z=0 plane) EXCEPT
-        # a band of columns where a wall sits at view distance 1.5 (z=1.5)
-        vz = jnp.full((hh, hw), 3.0, jnp.float32)
-        vz = vz.at[:, 12:20].set(1.5)
-        # hit point straight toward the camera at z=2 for lanes whose
-        # segment midpoint projects into the wall band -> occluded there
-        hit = jnp.tile(jnp.asarray([0.0, 0.0, 2.0]), (hh, hw, 1))
-        occ = np.asarray(rg._occluded(pos, hit, vz, view, 0.01, 2))
-        # the straight-ahead segment projects to the image centre column
-        # (inside the wall band): occluded
+        vz_clear = jnp.full((hh, hw), 3.0, jnp.float32)
+        # ...except a band of columns just right of centre, where a surface
+        # sits at view depth 2.2 (an occluder 0.8 units in front)
+        vz_wall = vz_clear.at[:, hw // 2 + 2: hw // 2 + 6].set(2.2)
+        # hit far to the right at view depth 1.5: the march from the centre
+        # pixel toward its projection crosses the wall band
+        hit = jnp.tile(jnp.asarray([1.0, 0.0, 1.5]), (hh, hw, 1))
+        occ = np.asarray(rg._occluded(pos, hit, vz_wall, view, 0.01, 2))
         assert occ[hh // 2, hw // 2]
-        # a segment toward a hit far to the right of the wall band: clear
-        hit2 = jnp.tile(jnp.asarray([2.5, 0.0, 1.0]), (hh, hw, 1))
-        occ2 = np.asarray(rg._occluded(pos, hit2, vz, view, 0.01, 2))
-        assert not occ2[hh // 2, hw - 4]
+        # same segment with a clean z buffer: unoccluded
+        occ2 = np.asarray(rg._occluded(pos, hit, vz_clear, view, 0.01, 2))
+        assert not occ2[hh // 2, hw // 2]
 
 
 class TestNearFarSplit:
