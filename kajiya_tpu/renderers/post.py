@@ -240,17 +240,83 @@ def cas_sharpen(img, amount: float = 0.4):
     return jnp.clip(out, 0.0, 1.0)
 
 
-def bezold_brucke_shift(rgb, strength: float = 0.3):
-    """Approximate Bezold-Brucke hue shift: bright colors drift toward
-    yellow/blue (the reference bakes a LUT, `lut_renderers.rs:48-76`;
-    here an analytic approximation on the tonemapped value)."""
-    from ..core.color import luminance
+# --- Bezold-Brucke hue shift ------------------------------------------------
+# Pridmore (1999) measured wavelength-shift data for the 10:100 cd/m^2
+# luminance ratio, exactly the dataset behind the reference's baked LUT
+# (`inc/color/bezold_brucke.hlsl:66-93`, `lut/bezold_brucke.hlsl`). The
+# piecewise-linear curve (hue-coordinate t -> shift in nm) is Fourier-fit at
+# import so runtime evaluation is a short cos/sin series — gather-free VPU
+# math instead of a LUT fetch (the TPU-native form of `lut_renderers.rs`).
+_PRIDMORE_T_NM = _np.array([
+    [0.0, 0.0], [0.084, -5.0], [0.152, -5.0], [0.2055, -4.0], [0.25, 0.0],
+    [0.265, 2.3], [0.291, 5.0], [0.31, 6.0], [0.3285, 6.5], [0.356, 5.4],
+    [0.395, 4.4], [0.4445, 3.93], [0.551, -4.9], [0.585, -6.0],
+    [0.6065, -6.0], [0.6133, -3.0], [0.621, 1.42], [0.6245, 1.9],
+    [0.633, 2.55], [0.92495, 2.55], [0.92525, 3.35], [0.9267, 4.8],
+    [0.93, 6.15], [0.934, 7.0], [0.942, 5.95], [0.956, 4.0]])
 
-    y = luminance(rgb)[..., None]
-    # blend toward the luminance axis for very bright pixels (desaturation
-    # part of the shift); hue rotation kept subtle
-    t = jnp.clip((y - 0.7) / 0.3, 0.0, 1.0) * strength
-    return rgb + (y - rgb) * t
+
+def _fit_bb_fourier(n_harm: int = 10, n_pts: int = 512):
+    ts = _np.linspace(0.0, 1.0, n_pts, endpoint=False)
+    xp = _np.concatenate([_PRIDMORE_T_NM[:, 0],
+                          [_PRIDMORE_T_NM[0, 0] + 1.0]])
+    fp = _np.concatenate([_PRIDMORE_T_NM[:, 1], [_PRIDMORE_T_NM[0, 1]]])
+    vals = _np.interp(ts, xp, fp)
+    cols = [_np.ones_like(ts)]
+    for k in range(1, n_harm + 1):
+        cols.append(_np.cos(2 * _np.pi * k * ts))
+        cols.append(_np.sin(2 * _np.pi * k * ts))
+    coef, *_ = _np.linalg.lstsq(_np.stack(cols, -1), vals, rcond=None)
+    return jnp.asarray(coef), n_harm
+
+
+_BB_COEF, _BB_HARM = _fit_bb_fourier()
+
+# sRGB <-> XYZ (D65), row-major
+_RGB2XYZ = jnp.asarray([[0.4124564, 0.3575761, 0.1804375],
+                        [0.2126729, 0.7151522, 0.0721750],
+                        [0.0193339, 0.1191920, 0.9503041]])
+_XYZ2RGB = jnp.asarray(_np.linalg.inv(_np.array(
+    [[0.4124564, 0.3575761, 0.1804375],
+     [0.2126729, 0.7151522, 0.0721750],
+     [0.0193339, 0.1191920, 0.9503041]])))
+_D65_XY = (0.31272, 0.32903)
+_BB_RAD_PER_NM = 0.02     # mean d(hue angle)/d(wavelength) around D65
+
+
+def bezold_brucke_shift(rgb, amount):
+    """Bezold-Brucke hue shift (`bezold_brucke_shift_XYZ_*`): as stimuli get
+    brighter, perceived hue drifts — the shift is a dominant-wavelength
+    displacement whose sign/magnitude follows Pridmore's measurements. The
+    chromaticity offset from D65 is rotated by the (Fourier-evaluated)
+    nm-shift scaled to hue angle; saturation and luminance are preserved,
+    matching the reference's constant-|offset| LUT application.
+
+    amount: (H, W) or scalar in [0, 1) — the reference ramps it as
+    lum / (lum + BEZOLD_BRUCKE_SHIFT_RAMP) on the pre-display stimulus."""
+    from ..ops.smallvec import matvec
+
+    xyz = matvec(_RGB2XYZ, jnp.maximum(rgb, 0.0))
+    s = jnp.maximum(xyz.sum(-1), 1e-8)
+    x = xyz[..., 0] / s
+    y = xyz[..., 1] / s
+    ox = x - _D65_XY[0]
+    oy = y - _D65_XY[1]
+    theta = jnp.arctan2(oy, ox)
+    t = ((-theta / jnp.pi) * 0.5 + 0.61) % 1.0
+    nm = _BB_COEF[0]
+    for k in range(1, _BB_HARM + 1):
+        nm = (nm + _BB_COEF[2 * k - 1] * jnp.cos(2 * jnp.pi * k * t)
+              + _BB_COEF[2 * k] * jnp.sin(2 * jnp.pi * k * t))
+    delta = nm * _BB_RAD_PER_NM * amount
+    c, sn = jnp.cos(delta), jnp.sin(delta)
+    nx = _D65_XY[0] + ox * c - oy * sn
+    ny = _D65_XY[1] + ox * sn + oy * c
+    ny_safe = jnp.maximum(ny, 1e-6)
+    Y = xyz[..., 1]
+    out = jnp.stack([nx * Y / ny_safe, Y,
+                     (1.0 - nx - ny) * Y / ny_safe], axis=-1)
+    return jnp.maximum(matvec(_XYZ2RGB, out), 0.0)
 
 
 def post_combine(lit, exposure_mult, glare_amount: float = 0.07,
@@ -259,11 +325,16 @@ def post_combine(lit, exposure_mult, glare_amount: float = 0.07,
     tone map, sRGB. Returns display-ready (H, W, 3) in [0,1]."""
     if glare is None:
         glare = glare_pyramid(lit)
+    from ..core.color import luminance
+
     x = lit * (1.0 - glare_amount) + glare * glare_amount
     x = x * exposure_mult
+    # B-B hue shift on the linear pre-display stimulus, ramped by
+    # luminance as in `display_transform.hlsl:84-85` (SHIFT_RAMP = 5)
+    lum = luminance(x)
+    x = bezold_brucke_shift(x, lum / (lum + 5.0))
     t = tonemap_filmic(x)
     # contrast in log space around mid grey
     t = jnp.clip(0.18 * jnp.power(jnp.maximum(t, 1e-6) / 0.18, contrast), 0.0, 1.0)
-    t = bezold_brucke_shift(t)
     t = cas_sharpen(t)
     return srgb_encode(t)

@@ -244,3 +244,40 @@ class TestDisplayTransform:
         out = np.asarray(tonemap_filmic(c))[0]
         assert out[0] > out[1] > out[2] > 0.0
         assert (out >= 0).all() and (out <= 1).all()
+
+
+class TestBezoldBrucke:
+    def test_zero_amount_identity(self):
+        from kajiya_tpu.renderers.post import bezold_brucke_shift
+
+        rng = np.random.default_rng(1)
+        rgb = jnp.asarray(rng.uniform(0, 2, (8, 8, 3)).astype(np.float32))
+        out = np.asarray(bezold_brucke_shift(rgb, 0.0))
+        np.testing.assert_allclose(out, np.asarray(rgb), atol=1e-4)
+
+    def test_preserves_luminance_and_shifts_hue(self):
+        """The shift rotates chromaticity around the white point: XYZ Y is
+        exactly preserved; a saturated red drifts toward yellow (Pridmore:
+        long wavelengths outside 605-620 shift positive at red's hue
+        coordinate, i.e. toward shorter-wavelength orange/yellow appearance
+        mapped as a rotation toward the yellow axis)."""
+        from kajiya_tpu.renderers.post import (_RGB2XYZ, bezold_brucke_shift)
+        from kajiya_tpu.ops.smallvec import matvec
+
+        red = jnp.asarray([[[1.0, 0.05, 0.02]]])
+        out = bezold_brucke_shift(red, 1.0)
+        y_in = float(matvec(_RGB2XYZ, red)[0, 0, 1])
+        y_out = float(matvec(_RGB2XYZ, out)[0, 0, 1])
+        assert abs(y_in - y_out) < 1e-5
+        o = np.asarray(out)[0, 0]
+        r = np.asarray(red)[0, 0]
+        # hue moved: green/red ratio changed measurably, not a no-op
+        assert abs(o[1] / o[0] - r[1] / r[0]) > 5e-3
+        assert np.isfinite(o).all() and (o >= 0).all()
+
+    def test_achromatic_unchanged(self):
+        from kajiya_tpu.renderers.post import bezold_brucke_shift
+
+        grey = jnp.full((4, 4, 3), 0.5)
+        out = np.asarray(bezold_brucke_shift(grey, 1.0))
+        np.testing.assert_allclose(out, 0.5, atol=1e-3)
