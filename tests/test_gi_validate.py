@@ -149,3 +149,53 @@ class TestLightToggleFrame:
         # 24-frame EMA alone would cover ~15%
         covered = (lit_a - lit_after) / max(lit_a - lit_b, 1e-6)
         assert covered > 0.55, (lit_a, lit_after, lit_b, covered)
+
+
+class TestMovingLight:
+    def test_moving_emitter_no_ghost(self):
+        """Move the whole box (and its emitter) sideways with NO motion
+        vectors (worst case for reprojection): within 4 frames — one
+        validation period + temporal catch-up — the image must cover most
+        of the gap to a fresh render of the moved scene, i.e. the old
+        emitter position must not ghost for the full 24-frame EMA window."""
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        gpu_a = build_gpu_scene(cornell_box())
+        ts_a, levels_a = build_trace_scene(gpu_a)
+        xf = np.asarray(gpu_a.xforms).copy()
+        xf[0, :, 3] += np.array([0.5, 0.0, 0.0], np.float32)
+        gpu_b = dataclasses.replace(gpu_a, xforms=jnp.asarray(xf),
+                                    xforms_prev=jnp.asarray(xf))
+        ts_b, levels_b = build_trace_scene(gpu_b)
+
+        view = make_view_constants((0, 0, 2.4), (0, 0, -1), fov_y_deg=55.0,
+                                   width=W, height=H)
+        cfg = RenderConfig(width=W, height=H, max_trace_steps=256,
+                           use_taa=False, use_motion_blur=False)
+        state = init_frame_state(cfg)
+        step_a = jax.jit(lambda s: render_frame(ts_a, s, view, cfg,
+                                                levels=levels_a))
+        step_b = jax.jit(lambda s: render_frame(ts_b, s, view, cfg,
+                                                levels=levels_b))
+        for _ in range(9):
+            state, out = step_a(state)
+        lit_a = np.asarray(out["lit"])
+        for _ in range(4):
+            state, out = step_b(state)
+        lit_after = np.asarray(out["lit"])
+
+        state_b = init_frame_state(cfg)
+        for _ in range(9):
+            state_b, out_b = step_b(state_b)
+        lit_b = np.asarray(out_b["lit"])
+
+        gap = np.abs(lit_a - lit_b).mean()
+        residual = np.abs(lit_after - lit_b).mean()
+        assert residual < 0.5 * gap, (residual, gap)
+        # the OLD emitter band specifically must have dimmed: find the
+        # brightest pixels of A that are dim in B and check they dropped
+        old_hot = (lit_a.mean(-1) > 3.0) & (lit_b.mean(-1) < 1.0)
+        if old_hot.sum() > 0:
+            assert lit_after.mean(-1)[old_hot].mean() < 2.0
