@@ -1,0 +1,85 @@
+"""One-command per-pass table: run N full frames under the profiler and
+aggregate device time by top-level pass_scope (the `gi-overview.md:452`
+table for docs/architecture.md).
+
+Usage (EXCLUSIVE on the TPU — no other python):
+    python tools/pass_table3.py [width height] [frames]
+"""
+import sys; sys.path.insert(0, "/root/repo")
+import collections
+import glob
+import gzip
+import json
+import os
+import tempfile
+import time
+
+import jax
+import numpy as np
+
+W = int(sys.argv[1]) if len(sys.argv) > 1 else 1920
+H = int(sys.argv[2]) if len(sys.argv) > 2 else 1080
+N = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+
+from kajiya_tpu.core.camera import make_view_constants
+from kajiya_tpu.frame import RenderConfig, init_frame_state, render_frame
+from kajiya_tpu.ops.hoist import jit_hoisted
+from kajiya_tpu.scene.procedural import cornell_box
+from kajiya_tpu.scene.scene import build_gpu_scene
+from kajiya_tpu.world import build_trace_scene
+
+gpu = build_gpu_scene(cornell_box())
+ts, levels = build_trace_scene(gpu)
+view = make_view_constants((0, 0, 2.4), (0, 0, -1), fov_y_deg=55.0,
+                           width=W, height=H)
+cfg = RenderConfig(width=W, height=H)
+state = init_frame_state(cfg)
+step = jit_hoisted(lambda s: render_frame(ts, s, view, cfg, levels=levels))
+
+state, out = step(state)
+state, out = step(state)
+jax.block_until_ready(out["final"])
+time.sleep(1)
+
+trace_dir = tempfile.mkdtemp(prefix="kajiya_pass_table_")
+with jax.profiler.trace(trace_dir):
+    for _ in range(N):
+        state, out = step(state)
+    jax.block_until_ready(out["final"])
+    time.sleep(2)
+
+paths = glob.glob(os.path.join(trace_dir,
+                               "plugins/profile/*/*.trace.json.gz"))
+with gzip.open(max(paths, key=os.path.getmtime)) as f:
+    data = json.load(f)
+ev = data["traceEvents"]
+pid_names = {e["pid"]: e["args"].get("name", "") for e in ev
+             if e.get("ph") == "M" and e.get("name") == "process_name"}
+
+device_pids = {p for p, n in pid_names.items() if "TPU" in n}
+if not device_pids:      # CPU smoke runs: take the busiest non-python pid
+    device_pids = {p for p, n in pid_names.items()
+                   if "CPU" in n or "XLA" in n or "Host" in n}
+
+agg = collections.Counter()
+total = 0.0
+for e in ev:
+    if not (e.get("ph") == "X" and "dur" in e
+            and e.get("pid") in device_pids):
+        continue
+    n = e.get("name", "")
+    if n.startswith("jit_"):
+        continue
+    args = e.get("args", {}) or {}
+    src = args.get("tf_op") or args.get("source_info") or n
+    # first named_scope component = the pass
+    head = src.split("/")[0] if "/" in src else "(fusion/other)"
+    agg[head] += e["dur"] / 1000.0
+    total += e["dur"] / 1000.0
+
+per_frame = total / max(N, 1)
+print(f"\n{W}x{H}, {N} frames — device total {total:.1f} ms, "
+      f"~{per_frame:.1f} ms/frame\n")
+print(f"{'pass':28s} {'ms/frame':>9s} {'share':>7s}")
+for k, d in agg.most_common(40):
+    print(f"{k[:28]:28s} {d / N:9.2f} {100 * d / total:6.1f}%")
