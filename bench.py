@@ -82,6 +82,9 @@ def _measure(step, state):
 
 
 def main():
+    from kajiya_tpu.core import jitcache
+
+    jitcache.enable()   # minutes-long frame compiles persist across runs
     from kajiya_tpu.core.camera import make_view_constants
     from kajiya_tpu.frame import RenderConfig, init_frame_state, render_frame
     from kajiya_tpu.ops.hoist import jit_hoisted

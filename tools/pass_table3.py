@@ -21,7 +21,10 @@ W = int(sys.argv[1]) if len(sys.argv) > 1 else 1920
 H = int(sys.argv[2]) if len(sys.argv) > 2 else 1080
 N = int(sys.argv[3]) if len(sys.argv) > 3 else 3
 
+from kajiya_tpu.core import jitcache
 from kajiya_tpu.core.camera import make_view_constants
+
+jitcache.enable()
 from kajiya_tpu.frame import RenderConfig, init_frame_state, render_frame
 from kajiya_tpu.ops.hoist import jit_hoisted
 from kajiya_tpu.scene.procedural import cornell_box
