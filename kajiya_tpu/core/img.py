@@ -170,12 +170,10 @@ def upsample_bilinear(img, out_h: int, out_w: int):
     wx = weights(out_w, w)                  # (W2, W)
     squeeze = img.ndim == 2
     x = img[..., None] if squeeze else img
-    c = x.shape[-1]
-    planes = []
-    for ch in range(c):
-        t = jnp.dot(wy, x[..., ch], preferred_element_type=jnp.float32)
-        planes.append(jnp.dot(t, wx.T, preferred_element_type=jnp.float32))
-    out = jnp.stack(planes, axis=-1)
+    x = x.astype(jnp.float32)
+    t = jnp.tensordot(wy, x, axes=[[1], [0]])            # (H2, W, C)
+    out = jnp.tensordot(wx, t, axes=[[1], [1]])          # (W2, H2, C)
+    out = out.transpose(1, 0, 2)
     return out[..., 0] if squeeze else out
 
 
@@ -200,15 +198,11 @@ def shift2d(img, dy: int, dx: int):
 def separable_blur(img, taps):
     """Separable odd-length blur with static weights (e.g. gaussian)."""
     r = len(taps) // 2
-    acc = None
-    for i, t in enumerate(taps):
-        s = shift2d(img, 0, i - r) * t
-        acc = s if acc is None else acc + s
-    out = None
-    for i, t in enumerate(taps):
-        s = shift2d(acc, i - r, 0) * t
-        out = s if out is None else out + s
-    return out
+    w = jnp.asarray(taps, img.dtype).reshape((-1,) + (1,) * img.ndim)
+    sx = shift_stack(img, [(0, i - r) for i in range(len(taps))])
+    acc = jnp.sum(sx * w, axis=0)
+    sy = shift_stack(acc, [(i - r, 0) for i in range(len(taps))])
+    return jnp.sum(sy * w, axis=0)
 
 
 GAUSS5 = (0.0625, 0.25, 0.375, 0.25, 0.0625)
@@ -306,36 +300,53 @@ def half_to_full_taps(half):
 
 
 def upsample2x_bilinear(img):
-    """Exact 2x bilinear upsample, gather-free."""
-    taps, weights = half_to_full_taps(img)
-    acc = None
-    for t, w in zip(taps, weights):
-        ww = w[..., None] if img.ndim == 3 else w
-        acc = t * ww if acc is None else acc + t * ww
-    return acc
+    """Exact 2x bilinear upsample, gather-free: per-axis phase blend +
+    interleave (bit-identical to the half_to_full_taps formulation, ~10x
+    fewer traced ops)."""
+    a = shift_stack(img, [(-1, 0), (0, 0), (1, 0)])
+    r = interleave_rows(0.25 * a[0] + 0.75 * a[1], 0.75 * a[1] + 0.25 * a[2])
+    b = shift_stack(r, [(0, -1), (0, 0), (0, 1)])
+    return interleave_cols(0.25 * b[0] + 0.75 * b[1],
+                           0.75 * b[1] + 0.25 * b[2])
+
+
+def shift_stack(img, offsets):
+    """All static shifts of `img` as ONE stacked tensor (N, H, W[, C]):
+    one edge-pad + N slices of the padded array.
+
+    This is the program-size workhorse: an unrolled k-tap stencil loop
+    traces its body k times (k x the HLO instructions, k x the XLA compile
+    time); stacking the taps on a leading axis lets the tap MATH be written
+    once over (N, H, W) — same fused elementwise work at runtime, ~k x
+    smaller program. Compile-time motivated redesign (round 4): the frame
+    had grown to ~43k HLO equations, largely unrolled stencils."""
+    h, w = img.shape[0], img.shape[1]
+    my = max(max(-dy, dy, 0) for dy, _ in offsets)
+    mx = max(max(-dx, dx, 0) for _, dx in offsets)
+    my = min(my, h - 1)
+    mx = min(mx, w - 1)
+    pw = [(my, my), (mx, mx)] + [(0, 0)] * (img.ndim - 2)
+    p = jnp.pad(img, pw, mode="edge")
+    taps = []
+    for dy, dx in offsets:
+        dy = max(-(h - 1), min(h - 1, dy))
+        dx = max(-(w - 1), min(w - 1, dx))
+        taps.append(p[my + dy:my + dy + h, mx + dx:mx + dx + w])
+    return jnp.stack(taps, axis=0)
+
+
+OFF3X3 = tuple((dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1))
 
 
 def local_moments_3x3(img):
     """Per-pixel mean and variance over the 3x3 neighborhood (single channel
     or per-channel); the workhorse of temporal variance clamps."""
-    m1 = jnp.zeros_like(img)
-    m2 = jnp.zeros_like(img)
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            v = shift2d(img, dy, dx)
-            m1 = m1 + v
-            m2 = m2 + v * v
-    m1 = m1 / 9.0
-    m2 = m2 / 9.0
+    s = shift_stack(img, OFF3X3)
+    m1 = s.mean(axis=0)
+    m2 = (s * s).mean(axis=0)
     return m1, jnp.maximum(m2 - m1 * m1, 0.0)
 
 
 def minmax_3x3(img):
-    lo = img
-    hi = img
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            v = shift2d(img, dy, dx)
-            lo = jnp.minimum(lo, v)
-            hi = jnp.maximum(hi, v)
-    return lo, hi
+    s = shift_stack(img, OFF3X3)
+    return s.min(axis=0), s.max(axis=0)

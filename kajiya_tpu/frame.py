@@ -239,9 +239,111 @@ def render_frame(ts, state, view: ViewConstants, cfg: RenderConfig,
         shadow_state = {"moments": state["moments"],
                         "history_len": state["history_len"]}
 
-    # --- diffuse GI
+    # --- shared secondary-ray wavefront. The GI candidate rays (rtdgi),
+    # VNDF reflection rays (rtr), and both passes' every-3rd-frame
+    # validation re-traces are CONCATENATED into single trace+shade calls,
+    # so XLA sees ONE traversal kernel + ONE hit-lighting subgraph instead
+    # of four copies (the reference instantiates one RT pipeline per pass —
+    # rtdgi.rs:294/322, rtr.rs:133/209 — because hardware TraceRay is free
+    # to re-bind; here every instantiation is program size and compile
+    # time). Also a runtime win: one big wavefront keeps the Pallas
+    # intersector's tiles full.
     restir_state = {k: v for k, v in state.items() if k.startswith("gi_res_")}
+    rtr_keys = [k for k in state if k.startswith("rtr_")]
+    rtr_state_in = {k: state[k] for k in rtr_keys}
     rtdgi_candidates = None
+    gi_invalidity = None
+    shade_kw = dict(
+        prev_lit=state["prev_lit"], prev_depth=state["prev_depth"],
+        view=view, ircache_lookup=ircache_lookup, max_trace_steps=mts,
+        full_shading=cfg.secondary_full_shading)
+    gb_h = rtdgi.half_gbuffer(gb) if (cfg.use_rtdgi or cfg.use_rtr) else None
+    rtr_half = None
+    use_gi_restir = cfg.use_rtdgi and cfg.use_restir_gi
+    use_rtr_restir = cfg.use_rtr
+    if cfg.use_rtdgi or cfg.use_rtr:
+        from .renderers.hit_lighting import hit_radiance
+        from .rt.trace import scene_trace_closest
+
+        # ---- batched validation of both passes' stored reservoir rays
+        if use_gi_restir or use_rtr_restir:
+            from .renderers import restir_gi
+
+            def _do_validate(pair):
+                rs, rrs = pair
+                orgs, dirs = [], []
+                ctx_a = ctx_b = None
+                if use_gi_restir:
+                    oa, da, ctx_a = restir_gi.validation_rays(rs, gb_h)
+                    orgs.append(oa)
+                    dirs.append(da)
+                if use_rtr_restir:
+                    ob, db, ctx_b = rtr.validation_rays(rrs, gb)
+                    orgs.append(ob)
+                    dirs.append(db)
+                org = jnp.concatenate(orgs)
+                d = jnp.concatenate(dirs)
+                hit = scene_trace_closest(ts, org, d, t_min=1e-4,
+                                          max_steps=mts)
+                fresh = hit_radiance(ts, hit, d, sky_env, diffuse_env,
+                                     **shade_kw)
+                na = orgs[0].shape[0] if use_gi_restir else 0
+                new_rs, inv = rs, None
+                if use_gi_restir:
+                    new_rs, inv = restir_gi.apply_validation(
+                        rs, ctx_a, hit.t[:na], fresh[:na])
+                new_rrs = rrs
+                if use_rtr_restir:
+                    new_rrs = rtr.apply_validation(
+                        rrs, ctx_b, hit.t[na:], fresh[na:])
+                if inv is None:
+                    inv = jnp.zeros(gb_h["hit"].shape, jnp.float32)
+                return new_rs, inv, new_rrs
+
+            def _no_validate(pair):
+                rs, rrs = pair
+                return rs, jnp.zeros(gb_h["hit"].shape, jnp.float32), rrs
+
+            with pass_scope("gi_validate"):
+                restir_state, gi_invalidity, rtr_res_valid = jax.lax.cond(
+                    jnp.asarray(frame_idx, jnp.int32) % 3 == 0,
+                    _do_validate, _no_validate,
+                    (restir_state, rtr_state_in))
+                rtr_state_in = dict(rtr_state_in, **rtr_res_valid)
+            if not use_gi_restir:
+                gi_invalidity = None
+
+        # ---- batched candidate + reflection trace/shade
+        with pass_scope("gi_trace"):
+            orgs, dirs, rngs = [], [], []
+            if cfg.use_rtdgi:
+                org_c, wi_c, rng_c = rtdgi.candidate_rays(gb_h, frame_idx)
+                orgs.append(org_c)
+                dirs.append(wi_c)
+                rngs.append(rng_c)
+            if cfg.use_rtr:
+                org_r, wi_r, pdf_r, rng_r = rtr.reflection_rays(gb, frame_idx)
+                orgs.append(org_r)
+                dirs.append(wi_r)
+                rngs.append(rng_r)
+            org = jnp.concatenate(orgs)
+            d = jnp.concatenate(dirs)
+            rng = jnp.concatenate(rngs)
+            hit = scene_trace_closest(ts, org, d, t_min=1e-4, max_steps=mts)
+            rad, aux = hit_radiance(ts, hit, d, sky_env, diffuse_env,
+                                    rng=rng, return_aux=True, **shade_kw)
+            nc = orgs[0].shape[0] if cfg.use_rtdgi else 0
+            if cfg.use_rtdgi:
+                rtdgi_candidates = rtdgi.finish_candidates(
+                    gb_h, org_c, wi_c, hit.hit_mask[:nc], hit.t[:nc],
+                    rad[:nc],
+                    {"hit_pos": aux["hit_pos"][:nc],
+                     "hit_geo_normal": aux["hit_geo_normal"][:nc]})
+            if cfg.use_rtr:
+                rtr_half = rtr.finish_reflections(
+                    gb, wi_r, pdf_r, hit.t[nc:], rad[nc:])
+
+    # --- diffuse GI
     if cfg.use_rtdgi:
       with pass_scope("rtdgi"):
         dgi, rtdgi_state, restir_state, rtdgi_candidates = rtdgi.rtdgi_pipeline(
@@ -253,7 +355,9 @@ def render_frame(ts, state, view: ViewConstants, cfg: RenderConfig,
             ircache_lookup=ircache_lookup, max_trace_steps=mts,
             use_restir=cfg.use_restir_gi,
             restir_state=restir_state if cfg.use_restir_gi else None,
-            secondary_full_shading=cfg.secondary_full_shading)
+            secondary_full_shading=cfg.secondary_full_shading,
+            candidates=rtdgi_candidates, invalidity=gi_invalidity,
+            validated=True)
         restir_state = restir_state or {}
     else:
         dgi = sky_env_mod.sample_env(diffuse_env, gb["normal"].reshape(-1, 3)
@@ -262,18 +366,18 @@ def render_frame(ts, state, view: ViewConstants, cfg: RenderConfig,
                        "rtdgi_hist_len": state["rtdgi_hist_len"]}
 
     # --- reflections
-    rtr_keys = [k for k in state if k.startswith("rtr_")]
     if cfg.use_rtr:
       with pass_scope("rtr"):
         refl, rtr_state = rtr.rtr_pipeline(
-            ts, gb, view, frame_idx,
-            {k: state[k] for k in rtr_keys},
+            ts, gb, view, frame_idx, rtr_state_in,
             reproj, sky_env, diffuse_env,
             prev_lit=state["prev_lit"], prev_depth=state["prev_depth"],
             ircache_lookup=ircache_lookup, max_trace_steps=mts,
+            half=rtr_half,
             mesh_light_specular=cfg.use_mesh_light_specular,
             rtdgi_candidates=rtdgi_candidates,
-            secondary_full_shading=cfg.secondary_full_shading)
+            secondary_full_shading=cfg.secondary_full_shading,
+            validated=True)
     else:
         refl = sky_env_mod.sample_env(
             sky_env, _reflect(gb["ray_dir"], gb["normal"]).reshape(-1, 3)

@@ -32,16 +32,11 @@ def _tile_reduce_max(vel, tile: int):
 
 def _dilate_max(tiles):
     """3x3 max-magnitude dilation (velocity_dilate pass)."""
-    best = tiles
-    best_mag = jnp.linalg.norm(tiles, axis=-1)
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            v = im.shift2d(tiles, dy, dx)
-            m = jnp.linalg.norm(v, axis=-1)
-            take = m > best_mag
-            best = jnp.where(take[..., None], v, best)
-            best_mag = jnp.maximum(best_mag, m)
-    return best
+    s = im.shift_stack(tiles, im.OFF3X3)             # (9, ht, wt, 2)
+    mag = jnp.linalg.norm(s, axis=-1)
+    k = jnp.argmax(mag, axis=0)
+    sel = (jnp.arange(s.shape[0])[:, None, None] == k)[..., None]
+    return jnp.sum(jnp.where(sel, s, 0.0), axis=0)
 
 
 def motion_blur(color, velocity, depth, frame_fraction: float = 0.5):

@@ -116,16 +116,7 @@ def glare_pyramid(lit, levels: int = 6):
 
 
 def _blur3(img):
-    k = (0.25, 0.5, 0.25)
-    acc = None
-    for i, t in enumerate(k):
-        s = im.shift2d(img, 0, i - 1) * t
-        acc = s if acc is None else acc + s
-    out = None
-    for i, t in enumerate(k):
-        s = im.shift2d(acc, i - 1, 0) * t
-        out = s if out is None else out + s
-    return out
+    return im.separable_blur(img, (0.25, 0.5, 0.25))
 
 
 # ----------------------------------------------------------------------------
@@ -304,10 +295,11 @@ def bezold_brucke_shift(rgb, amount):
     oy = y - _D65_XY[1]
     theta = jnp.arctan2(oy, ox)
     t = ((-theta / jnp.pi) * 0.5 + 0.61) % 1.0
-    nm = _BB_COEF[0]
-    for k in range(1, _BB_HARM + 1):
-        nm = (nm + _BB_COEF[2 * k - 1] * jnp.cos(2 * jnp.pi * k * t)
-              + _BB_COEF[2 * k] * jnp.sin(2 * jnp.pi * k * t))
+    ks = jnp.arange(1, _BB_HARM + 1, dtype=jnp.float32)
+    ang = 2 * jnp.pi * t[..., None] * ks                  # (..., HARM)
+    nm = (_BB_COEF[0]
+          + jnp.sum(_BB_COEF[1::2] * jnp.cos(ang)
+                    + _BB_COEF[2::2] * jnp.sin(ang), axis=-1))
     delta = nm * _BB_RAD_PER_NM * amount
     c, sn = jnp.cos(delta), jnp.sin(delta)
     nx = _D65_XY[0] + ox * c - oy * sn

@@ -247,22 +247,50 @@ def restir_diffuse(state, candidates, gb_h, reproj, frame_idx,
     GOLDEN_ANGLE = 2.39996323
     nty, ntx = tsp.tile_grid(hh, hw)
     trow = jnp.arange(nty * ntx, dtype=jnp.uint32)
+
+    # reservoir dict <-> one (hh, hw, 13) carry plane for lax.scan
+    def res13(res):
+        return jnp.concatenate([
+            res["payload"]["radiance"], res["payload"]["hit"],
+            res["payload"]["hitn"], res["w_sum"][..., None],
+            res["M"][..., None], res["W"][..., None],
+            res["p_hat"][..., None]], axis=-1)
+
+    def unres13(p):
+        return {"payload": {"radiance": p[..., 0:3], "hit": p[..., 3:6],
+                            "hitn": p[..., 6:9]},
+                "w_sum": p[..., 9], "M": p[..., 10], "W": p[..., 11],
+                "p_hat": p[..., 12]}
+
+    # The taps of each pass run as a lax.scan — the tap body (tile-shift
+    # fetch, geometry gate, occlusion raymarch, jacobian, reservoir merge)
+    # is traced ONCE per pass instead of once per tap (compile-size diet,
+    # round 4; ~11 unrolled bodies -> 2).
     for pass_idx, (radius, n_taps) in enumerate(((12.0, 7), (6.0, 4))):
         packed = pack(cur)
-        merged = cur
         t_rng = rng_mod.pixel_rng(trow % jnp.uint32(ntx),
                                   trow // jnp.uint32(ntx),
                                   jnp.uint32(frame_idx), stream=47 + pass_idx)
         u_ang, t_rng = rng_mod.rand_u01(t_rng)            # (nt,) per-tile
-        for k in range(1, n_taps + 1):
-            ang = (k + u_ang) * GOLDEN_ANGLE
-            r = jnp.sqrt(k / n_taps) * radius
-            dy = jnp.round(jnp.sin(ang) * r).astype(jnp.int32)
-            dx = jnp.round(jnp.cos(ang) * r).astype(jnp.int32)
-            nb, n_nb, vz_nb, pos_nb = unpack(tsp.tile_shift(packed, dy, dx))
+        ks = jnp.arange(1, n_taps + 1, dtype=jnp.float32)
+        ang = (ks[:, None] + u_ang[None, :]) * GOLDEN_ANGLE
+        r = jnp.sqrt(ks / n_taps)[:, None] * radius
+        dy_s = jnp.round(jnp.sin(ang) * r).astype(jnp.int32)  # (n_taps, nt)
+        dx_s = jnp.round(jnp.cos(ang) * r).astype(jnp.int32)
+        us = []
+        for _ in range(n_taps):
+            u, rng = rng_mod.rand_u01(rng)
+            us.append(u)
+        u_s = jnp.stack(us)                               # (n_taps, hh, hw)
+        do_occl = (pass_idx == 1 and view is not None
+                   and occlusion_samples > 0)
+
+        def tap_body(carry, xs, _do_occl=do_occl, _packed=packed):
+            dy, dx, u = xs
+            merged = unres13(carry)
+            nb, n_nb, vz_nb, pos_nb = unpack(tsp.tile_shift(_packed, dy, dx))
             ok = _geo_weight(vz, vz_nb, n, n_nb) & candidates["valid"]
-            # final pass: screen-space occlusion raymarch toward the hit
-            if pass_idx == 1 and view is not None and occlusion_samples > 0:
+            if _do_occl:
                 ok = ok & ~_occluded(pos, nb["payload"]["hit"], vz, view,
                                      near, occlusion_samples)
             # reconnection: the neighbor's hit sample evaluated FROM our
@@ -271,10 +299,14 @@ def restir_diffuse(state, candidates, gb_h, reproj, frame_idx,
             jac = _jacobian(nb["payload"]["hit"], nb["payload"]["hitn"],
                             pos_nb, pos)
             nb = rsv.clamp_m(nb, M_CLAMP_SPATIAL * M_CLAMP_TEMPORAL)
-            u, rng = rng_mod.rand_u01(rng)
             merged = rsv.merge(merged, nb, p_hat_nb, u, mask=ok,
                                w_scale=jac)
-        cur = merged
+            return res13(merged), None
+
+        import jax
+
+        carry, _ = jax.lax.scan(tap_body, res13(cur), (dy_s, dx_s, u_s))
+        cur = unres13(carry)
 
     return cur, next_state
 
@@ -282,14 +314,32 @@ def restir_diffuse(state, candidates, gb_h, reproj, frame_idx,
 VALIDATE_PERIOD = 3
 
 
-def validate_reservoirs(ts, state, gb_h, sky_env, diffuse_env, frame_idx,
-                        prev_lit=None, prev_depth=None, view=None,
-                        ircache_lookup=None, max_trace_steps=None,
-                        secondary_full_shading: bool = False):
-    """Quarter-res re-trace of stored GI reservoir rays
-    (`diffuse_validate.rgen.hlsl`, every 3rd frame, `rtdgi.rs:294`,
-    `gi-overview.md:163-177`): re-trace toward the stored hit point; where
-    the radiance disagrees,
+def validation_rays(state, gb_h):
+    """Ray batch for the quarter-res GI reservoir re-trace
+    (`diffuse_validate.rgen.hlsl`). Returns (org, d, ctx) — ctx carries
+    what apply_validation needs; org/d are (qh*qw, 3) flat rays that the
+    frame batches into ONE shared trace+shade wavefront with the other
+    secondary rays (compile/runtime diet: one traversal+shading subgraph
+    instead of one per pass)."""
+    RAY_EPS = 1e-4
+    pos_q = im.decimate2(gb_h["pos"])
+    gn_q = im.decimate2(gb_h["geo_normal"])
+    hit_q = im.decimate2(state["gi_res_payload_hit"])
+    rad_q = im.decimate2(state["gi_res_payload_radiance"])
+
+    d3, t_old = _reconnect(hit_q.reshape(-1, 3), pos_q.reshape(-1, 3))
+    live = luminance(rad_q.reshape(-1, 3)) + t_old > 1e-3
+    d = jnp.where(live[:, None], d3, jnp.array([0.0, 1.0, 0.0]))
+    org = pos_q.reshape(-1, 3) + gn_q.reshape(-1, 3) * RAY_EPS * 8
+    ctx = {"qh": hit_q.shape[0], "qw": hit_q.shape[1], "live": live,
+           "t_old": t_old, "rad_q": rad_q}
+    return org, d, ctx
+
+
+def apply_validation(state, ctx, hit_t, fresh):
+    """Second half of the reservoir validation: given the re-traced hit
+    distances + fresh radiance of `validation_rays`, replace/cut stale
+    reservoir lanes. Where the radiance disagrees,
       * if the hit DISTANCE still matches (same surface, changed lighting):
         replace the stored radiance, with the reference's firefly clamps on
         M and W (diffuse_validate.rgen.hlsl:96-105);
@@ -298,29 +348,9 @@ def validate_reservoirs(ts, state, gb_h, sky_env, diffuse_env, frame_idx,
     Returns (new_state, invalidity) — invalidity (half-res, 0..1, the
     smoothstep of relative radiance change) feeds the temporal filter's
     history cut (role of temporal_validity_integrate.hlsl)."""
-    from ..rt.trace import scene_trace_closest
-    from .hit_lighting import hit_radiance
-
-    RAY_EPS = 1e-4
     hh, hw = state["gi_res_w_sum"].shape
-    pos_q = im.decimate2(gb_h["pos"])
-    gn_q = im.decimate2(gb_h["geo_normal"])
-    hit_q = im.decimate2(state["gi_res_payload_hit"])
-    rad_q = im.decimate2(state["gi_res_payload_radiance"])
-    qh, qw = hit_q.shape[:2]
-
-    d3, t_old = _reconnect(hit_q.reshape(-1, 3), pos_q.reshape(-1, 3))
-    live = luminance(rad_q.reshape(-1, 3)) + t_old > 1e-3
-    d = jnp.where(live[:, None], d3, jnp.array([0.0, 1.0, 0.0]))
-    org = pos_q.reshape(-1, 3) + gn_q.reshape(-1, 3) * RAY_EPS * 8
-    hit = scene_trace_closest(ts, org, d, t_min=RAY_EPS,
-                              max_steps=max_trace_steps)
-    fresh, aux = hit_radiance(ts, hit, d, sky_env, diffuse_env,
-                              prev_lit=prev_lit, prev_depth=prev_depth,
-                              view=view, ircache_lookup=ircache_lookup,
-                              max_trace_steps=max_trace_steps,
-                              full_shading=secondary_full_shading,
-                              return_aux=True)
+    qh, qw = ctx["qh"], ctx["qw"]
+    live, t_old, rad_q = ctx["live"], ctx["t_old"], ctx["rad_q"]
 
     old = rad_q.reshape(-1, 3)
     # rad_diff/invalidity as in diffuse_validate.rgen.hlsl:81-82
@@ -328,7 +358,7 @@ def validate_reservoirs(ts, state, gb_h, sky_env, diffuse_env, frame_idx,
         jnp.abs(old - fresh) / jnp.maximum(1e-3, old + fresh), axis=-1)
     inv_q = jnp.where(live, _smoothstep(0.1, 0.5, rad_diff / jnp.sqrt(3.0)),
                       0.0)
-    t_new = jnp.minimum(hit.t, 1e8)
+    t_new = jnp.minimum(hit_t, 1e8)
     same_hit = (jnp.abs(t_new - t_old)
                 / jnp.maximum(2.0 * t_old, 1e-3)) < 0.2
     mismatch = inv_q > 0.0
@@ -388,6 +418,27 @@ def validate_reservoirs(ts, state, gb_h, sky_env, diffuse_env, frame_idx,
     return new, inv_h
 
 
+def validate_reservoirs(ts, state, gb_h, sky_env, diffuse_env, frame_idx,
+                        prev_lit=None, prev_depth=None, view=None,
+                        ircache_lookup=None, max_trace_steps=None,
+                        secondary_full_shading: bool = False):
+    """Standalone quarter-res reservoir validation (tests / non-batched
+    callers): validation_rays -> trace -> shade -> apply_validation. The
+    frame path batches the rays into its shared secondary wavefront."""
+    from ..rt.trace import scene_trace_closest
+    from .hit_lighting import hit_radiance
+
+    org, d, ctx = validation_rays(state, gb_h)
+    hit = scene_trace_closest(ts, org, d, t_min=1e-4,
+                              max_steps=max_trace_steps)
+    fresh = hit_radiance(ts, hit, d, sky_env, diffuse_env,
+                         prev_lit=prev_lit, prev_depth=prev_depth,
+                         view=view, ircache_lookup=ircache_lookup,
+                         max_trace_steps=max_trace_steps,
+                         full_shading=secondary_full_shading)
+    return apply_validation(state, ctx, hit.t, fresh)
+
+
 def _smoothstep(lo, hi, x):
     t = jnp.clip((x - lo) / (hi - lo), 0.0, 1.0)
     return t * t * (3.0 - 2.0 * t)
@@ -432,6 +483,13 @@ def resolve(reservoir, gb, candidates=None, ssao=None, near: float = 0.01):
     w_res = reservoir["W"]
     split = candidates is not None and ssao is not None
 
+    # one 17-channel packed half-res plane; per phase the 4 bilinear taps
+    # ride a stacked (4, hh, hw, 17) axis so the reconnection/jacobian math
+    # traces once per phase instead of once per tap (compile diet, round 4)
+    packed_h = jnp.concatenate([
+        vz_h[..., None], n_h, pos_h, hit_res, hitn_res,
+        w_res[..., None], rad_res], axis=-1)
+
     out_ph = [[None, None], [None, None]]
     for py in (0, 1):
         for px in (0, 1):
@@ -446,32 +504,29 @@ def resolve(reservoir, gb, candidates=None, ssao=None, near: float = 0.01):
             # hits are most likely parallax-wrong, so the candidate takes
             # over; in deep corners the reservoirs keep full weight
             infl = ssao_ph[py][px] if split else None
-            acc = jnp.zeros_like(rad_res)
-            accw = jnp.zeros_like(w_res)
-            for ky in (0, 1):
-                for kx in (0, 1):
-                    dy, dx = ky - 1 + py, kx - 1 + px
-                    bw = ((0.75 if ky != py else 0.25)
-                          * (0.75 if kx != px else 0.25))
-                    zz = im.shift2d(vz_h, dy, dx)
-                    nn = im.shift2d(n_h, dy, dx)
-                    w_z = jnp.exp(-jnp.abs(zz - vz) / (0.05 * vz + 1e-4))
-                    w_n = jnp.maximum(jnp.sum(nn * nf, axis=-1), 0.0) ** 8
-                    wt = bw * w_z * w_n + 1e-6
-                    hits = im.shift2d(hit_res, dy, dx)
-                    hitns = im.shift2d(hitn_res, dy, dx)
-                    owner_pos = im.shift2d(pos_h, dy, dx)
-                    dirs, dist = _reconnect(hits, pf)
-                    cosf = jnp.maximum(jnp.sum(dirs * nf, axis=-1), 0.0)
-                    jac = _jacobian(hits, hitns, owner_pos, pf)
-                    ww = im.shift2d(w_res, dy, dx)
-                    rad = im.shift2d(rad_res, dy, dx)
-                    contrib = cosf * jac * ww
-                    if split:
-                        far = _smoothstep(nf_start, nf_end, dist)
-                        contrib = contrib * (1.0 + (far - 1.0) * infl)
-                    acc = acc + rad * (contrib * wt)[..., None]
-                    accw = accw + wt
+            offs = [(ky - 1 + py, kx - 1 + px) for ky in (0, 1)
+                    for kx in (0, 1)]
+            bw = jnp.asarray([(0.75 if ky != py else 0.25)
+                              * (0.75 if kx != px else 0.25)
+                              for ky in (0, 1) for kx in (0, 1)],
+                             jnp.float32)[:, None, None]
+            s = im.shift_stack(packed_h, offs)        # (4, hh, hw, 17)
+            zz, nn = s[..., 0], s[..., 1:4]
+            owner_pos = s[..., 4:7]
+            hits, hitns = s[..., 7:10], s[..., 10:13]
+            ww, rad = s[..., 13], s[..., 14:17]
+            w_z = jnp.exp(-jnp.abs(zz - vz) / (0.05 * vz + 1e-4))
+            w_n = jnp.maximum(jnp.sum(nn * nf, axis=-1), 0.0) ** 8
+            wt = bw * w_z * w_n + 1e-6
+            dirs, dist = _reconnect(hits, pf)
+            cosf = jnp.maximum(jnp.sum(dirs * nf, axis=-1), 0.0)
+            jac = _jacobian(hits, hitns, owner_pos, pf)
+            contrib = cosf * jac * ww
+            if split:
+                far = _smoothstep(nf_start, nf_end, dist)
+                contrib = contrib * (1.0 + (far - 1.0) * infl)
+            acc = jnp.sum(rad * (contrib * wt)[..., None], axis=0)
+            accw = jnp.sum(wt, axis=0)
             # estimator integrates L cos / pdf == pi * E/pi; divide by pi
             e_over_pi = acc / accw[..., None] / jnp.pi
             if split:

@@ -43,12 +43,13 @@ def _half(gb):
     }
 
 
-def trace_candidates(ts, gb_h, frame_idx, sky_env, diffuse_env,
-                     prev_lit=None, prev_depth=None, view=None,
-                     ircache_lookup=None, max_trace_steps=None,
-                     secondary_full_shading: bool = False):
-    """Half-res candidate trace (`trace_diffuse.rgen.hlsl`): one cosine ray
-    per half-res pixel. Returns dict(radiance, ray_dir, ray_t, valid)."""
+half_gbuffer = _half   # public: frame.py builds the shared ray wavefront
+
+
+def candidate_rays(gb_h, frame_idx):
+    """Half-res candidate ray batch (`trace_diffuse.rgen.hlsl`): one cosine
+    ray per half-res pixel. Returns (org, wi, rng) flat; the frame batches
+    these into the shared secondary trace+shade wavefront."""
     hh, hw = gb_h["hit"].shape
     px = jnp.arange(hh * hw, dtype=jnp.uint32)
     rng = rng_mod.pixel_rng(px % jnp.uint32(hw), px // jnp.uint32(hw),
@@ -61,7 +62,37 @@ def trace_candidates(ts, gb_h, frame_idx, sky_env, diffuse_env,
     pos = gb_h["pos"].reshape(-1, 3)
     wi = to_world(n, cosine_hemisphere(u1, u2))
     org = pos + gn * RAY_EPS * 8
+    return org, wi, rng
 
+
+def finish_candidates(gb_h, org, wi, hit_mask, hit_t, rad, aux):
+    """Assemble the candidate dict from the shared wavefront's results."""
+    hh, hw = gb_h["hit"].shape
+    valid = gb_h["hit"].reshape(-1)
+    # reconnection data: real hit point (or a far virtual point for sky
+    # misses, jacobian ~1 there) + hit-surface normal, the payload ReSTIR
+    # reuse re-derives directions from (`restir_spatial.hlsl`)
+    m = hit_mask[:, None]
+    hit_pos = jnp.where(m, aux["hit_pos"], org + wi * SKY_DIST)
+    hit_n = jnp.where(m, aux["hit_geo_normal"], -wi)
+    # cosine-weighted estimator of E/pi is simply the sampled radiance
+    return {
+        "radiance": jnp.where(valid[:, None], rad, 0.0).reshape(hh, hw, 3),
+        "ray_dir": wi.reshape(hh, hw, 3),
+        "ray_t": jnp.minimum(hit_t, 1e8).reshape(hh, hw),
+        "hit_pos": hit_pos.reshape(hh, hw, 3),
+        "hit_normal": hit_n.reshape(hh, hw, 3),
+        "valid": valid.reshape(hh, hw),
+    }
+
+
+def trace_candidates(ts, gb_h, frame_idx, sky_env, diffuse_env,
+                     prev_lit=None, prev_depth=None, view=None,
+                     ircache_lookup=None, max_trace_steps=None,
+                     secondary_full_shading: bool = False):
+    """Standalone half-res candidate trace (tests / non-batched callers);
+    the frame path batches candidate_rays into one shared wavefront."""
+    org, wi, rng = candidate_rays(gb_h, frame_idx)
     hit = scene_trace_closest(ts, org, wi, t_min=RAY_EPS,
                         max_steps=max_trace_steps)
     rad, aux = hit_radiance(ts, hit, wi, sky_env, diffuse_env,
@@ -70,22 +101,7 @@ def trace_candidates(ts, gb_h, frame_idx, sky_env, diffuse_env,
                             max_trace_steps=max_trace_steps, rng=rng,
                             full_shading=secondary_full_shading,
                             return_aux=True)
-    valid = gb_h["hit"].reshape(-1)
-    # reconnection data: real hit point (or a far virtual point for sky
-    # misses, jacobian ~1 there) + hit-surface normal, the payload ReSTIR
-    # reuse re-derives directions from (`restir_spatial.hlsl`)
-    m = hit.hit_mask[:, None]
-    hit_pos = jnp.where(m, aux["hit_pos"], org + wi * SKY_DIST)
-    hit_n = jnp.where(m, aux["hit_geo_normal"], -wi)
-    # cosine-weighted estimator of E/pi is simply the sampled radiance
-    return {
-        "radiance": jnp.where(valid[:, None], rad, 0.0).reshape(hh, hw, 3),
-        "ray_dir": wi.reshape(hh, hw, 3),
-        "ray_t": jnp.minimum(hit.t, 1e8).reshape(hh, hw),
-        "hit_pos": hit_pos.reshape(hh, hw, 3),
-        "hit_normal": hit_n.reshape(hh, hw, 3),
-        "valid": valid.reshape(hh, hw),
-    }
+    return finish_candidates(gb_h, org, wi, hit.hit_mask, hit.t, rad, aux)
 
 
 def _edge_aware_upsample(half_img, gb, near: float = 0.01):
@@ -116,16 +132,24 @@ def rtdgi_pipeline(ts, gb, view, frame_idx, state, reproj, sky_env,
                    diffuse_env, ssao=None, prev_lit=None, prev_depth=None,
                    ircache_lookup=None, max_trace_steps=None,
                    use_restir: bool = True, restir_state=None,
-                   secondary_full_shading: bool = False):
-    """Full chain -> (diffuse E/pi (H, W, 3), new_state, new_restir_state)."""
-    gb_h = _half(gb)
-    candidates = trace_candidates(
-        ts, gb_h, frame_idx, sky_env, diffuse_env, prev_lit=prev_lit,
-        prev_depth=prev_depth, view=view, ircache_lookup=ircache_lookup,
-        max_trace_steps=max_trace_steps,
-        secondary_full_shading=secondary_full_shading)
+                   secondary_full_shading: bool = False,
+                   candidates=None, invalidity=None,
+                   validated: bool = False):
+    """Full chain -> (diffuse E/pi (H, W, 3), new_state, new_restir_state).
 
-    invalidity = None
+    candidates/invalidity: precomputed by the frame's shared secondary-ray
+    wavefront (frame.py batches candidate + validation rays of all GI
+    passes into ONE trace+shade); when absent, traced/validated here
+    standalone (tests, non-batched callers). `validated` marks the
+    reservoir state as already validated by the frame."""
+    gb_h = _half(gb)
+    if candidates is None:
+        candidates = trace_candidates(
+            ts, gb_h, frame_idx, sky_env, diffuse_env, prev_lit=prev_lit,
+            prev_depth=prev_depth, view=view, ircache_lookup=ircache_lookup,
+            max_trace_steps=max_trace_steps,
+            secondary_full_shading=secondary_full_shading)
+
     if use_restir and restir_state is not None:
         import jax
 
@@ -134,21 +158,22 @@ def rtdgi_pipeline(ts, gb, view, frame_idx, state, reproj, sky_env,
         # every-3rd-frame path validation (diffuse_validate.rgen.hlsl):
         # re-trace stored reservoir rays at quarter res, replace/cut stale
         # history BEFORE the temporal exchange
-        def do_validate(rs):
-            return restir_gi.validate_reservoirs(
-                ts, rs, gb_h, sky_env, diffuse_env, frame_idx,
-                prev_lit=prev_lit, prev_depth=prev_depth, view=view,
-                ircache_lookup=ircache_lookup,
-                max_trace_steps=max_trace_steps,
-                secondary_full_shading=secondary_full_shading)
+        if not validated and invalidity is None:
+            def do_validate(rs):
+                return restir_gi.validate_reservoirs(
+                    ts, rs, gb_h, sky_env, diffuse_env, frame_idx,
+                    prev_lit=prev_lit, prev_depth=prev_depth, view=view,
+                    ircache_lookup=ircache_lookup,
+                    max_trace_steps=max_trace_steps,
+                    secondary_full_shading=secondary_full_shading)
 
-        def no_validate(rs):
-            hh, hw = rs["gi_res_w_sum"].shape
-            return rs, jnp.zeros((hh, hw), jnp.float32)
+            def no_validate(rs):
+                hh, hw = rs["gi_res_w_sum"].shape
+                return rs, jnp.zeros((hh, hw), jnp.float32)
 
-        restir_state, invalidity = jax.lax.cond(
-            jnp.asarray(frame_idx) % restir_gi.VALIDATE_PERIOD == 0,
-            do_validate, no_validate, restir_state)
+            restir_state, invalidity = jax.lax.cond(
+                jnp.asarray(frame_idx) % restir_gi.VALIDATE_PERIOD == 0,
+                do_validate, no_validate, restir_state)
 
         res, new_restir_state = restir_gi.restir_diffuse(
             restir_state, candidates, gb_h, reproj, frame_idx,

@@ -58,19 +58,16 @@ def init_state(h: int, w: int):
     }
 
 
-def trace_reflections(ts, gb, frame_idx, sky_env, diffuse_env,
-                      prev_lit=None, prev_depth=None, view=None,
-                      ircache_lookup=None, max_trace_steps=None,
-                      secondary_full_shading: bool = False):
-    """Half-res reflection trace (`reflection.rgen.hlsl`): one VNDF ray per
-    half-res pixel. Returns dict(radiance, ray_t, wi, pdf, valid)."""
+def reflection_rays(gb, frame_idx):
+    """Half-res VNDF reflection ray batch (`reflection.rgen.hlsl`). Returns
+    (org, wi, pdf, rng); the frame batches these into the shared secondary
+    trace+shade wavefront."""
     pos = im.decimate2(gb["pos"])
     n = im.decimate2(gb["normal"])
     gn = im.decimate2(gb["geo_normal"])
     rough = im.decimate2(gb["roughness"])
-    hitm = im.decimate2(gb["hit"])
+    hh, hw = rough.shape
     rd = im.decimate2(gb["ray_dir"])
-    hh, hw = hitm.shape
 
     px = jnp.arange(hh * hw, dtype=jnp.uint32)
     rng = rng_mod.pixel_rng(px % jnp.uint32(hw), px // jnp.uint32(hw),
@@ -89,6 +86,30 @@ def trace_reflections(ts, gb, frame_idx, sky_env, diffuse_env,
     pdf = ggx.pdf_vndf(rough.reshape(-1), nf, wo, wi)
 
     org = pos.reshape(-1, 3) + gn.reshape(-1, 3) * RAY_EPS * 8
+    return org, wi, pdf, rng
+
+
+def finish_reflections(gb, wi, pdf, hit_t, rad):
+    """Assemble the half-res reflection dict from wavefront results."""
+    hitm = im.decimate2(gb["hit"])
+    hh, hw = hitm.shape
+    valid = hitm.reshape(-1)
+    return {
+        "radiance": jnp.where(valid[:, None], rad, 0.0).reshape(hh, hw, 3),
+        "ray_t": jnp.minimum(hit_t, 1e8).reshape(hh, hw),
+        "wi": wi.reshape(hh, hw, 3),
+        "pdf": pdf.reshape(hh, hw),
+        "valid": valid.reshape(hh, hw),
+    }
+
+
+def trace_reflections(ts, gb, frame_idx, sky_env, diffuse_env,
+                      prev_lit=None, prev_depth=None, view=None,
+                      ircache_lookup=None, max_trace_steps=None,
+                      secondary_full_shading: bool = False):
+    """Standalone half-res reflection trace (tests / non-batched callers);
+    the frame path batches reflection_rays into one shared wavefront."""
+    org, wi, pdf, rng = reflection_rays(gb, frame_idx)
     hit = scene_trace_closest(ts, org, wi, t_min=RAY_EPS,
                         max_steps=max_trace_steps)
     rad = hit_radiance(ts, hit, wi, sky_env, diffuse_env,
@@ -96,14 +117,7 @@ def trace_reflections(ts, gb, frame_idx, sky_env, diffuse_env,
                        ircache_lookup=ircache_lookup,
                        max_trace_steps=max_trace_steps, rng=rng,
                        full_shading=secondary_full_shading)
-    valid = hitm.reshape(-1)
-    return {
-        "radiance": jnp.where(valid[:, None], rad, 0.0).reshape(hh, hw, 3),
-        "ray_t": jnp.minimum(hit.t, 1e8).reshape(hh, hw),
-        "wi": wi.reshape(hh, hw, 3),
-        "pdf": pdf.reshape(hh, hw),
-        "valid": valid.reshape(hh, hw),
-    }
+    return finish_reflections(gb, wi, pdf, hit.t, rad)
 
 
 # ----------------------------------------------------------------------------
@@ -223,34 +237,32 @@ def restir_reflections(state, half, gb, reproj, frame_idx,
     return est, ray_len, _unpack_res(cur)
 
 
-def validate_reservoirs(ts, state, gb, sky_env, diffuse_env, frame_idx,
-                        prev_lit=None, prev_depth=None, view=None,
-                        ircache_lookup=None, max_trace_steps=None,
-                        secondary_full_shading: bool = False):
-    """Quarter-res re-trace of stored reservoir rays
-    (`reflection_validate.rgen.hlsl`, every 3rd frame,
-    `gi-overview.md:346-350`): where the fresh radiance disagrees with the
-    stored one, the stored sample is replaced and its history cut, so stale
-    reflections (moved lights/objects) die within one validation period."""
-    hh, hw = state["rtr_res_t"].shape
-    # quarter-res subset: every 2nd reservoir in each dimension
+def validation_rays(state, gb):
+    """Ray batch for the quarter-res reflection reservoir re-trace
+    (`reflection_validate.rgen.hlsl`). Returns (org, d, ctx); the frame
+    batches these into the shared secondary trace+shade wavefront."""
     pos_q = im.decimate2(im.decimate2(gb["pos"]))
     gn_q = im.decimate2(im.decimate2(gb["geo_normal"]))
     dir_q = im.decimate2(state["rtr_res_dir"])
     rad_q = im.decimate2(state["rtr_res_radiance"])
-    qh, qw = dir_q.shape[:2]
 
     d = dir_q.reshape(-1, 3)
     live = jnp.linalg.norm(d, axis=-1) > 0.5
     d = jnp.where(live[:, None], d, jnp.array([0.0, 1.0, 0.0]))
     org = pos_q.reshape(-1, 3) + gn_q.reshape(-1, 3) * RAY_EPS * 8
-    hit = scene_trace_closest(ts, org, d, t_min=RAY_EPS,
-                              max_steps=max_trace_steps)
-    fresh = hit_radiance(ts, hit, d, sky_env, diffuse_env,
-                         prev_lit=prev_lit, prev_depth=prev_depth, view=view,
-                         ircache_lookup=ircache_lookup,
-                         max_trace_steps=max_trace_steps,
-                         full_shading=secondary_full_shading)
+    ctx = {"qh": dir_q.shape[0], "qw": dir_q.shape[1], "live": live,
+           "rad_q": rad_q}
+    return org, d, ctx
+
+
+def apply_validation(state, ctx, hit_t, fresh):
+    """Second half of the reflection validation: where the fresh radiance
+    disagrees with the stored one, the stored sample is replaced and its
+    history cut, so stale reflections (moved lights/objects) die within one
+    validation period (`gi-overview.md:346-350`)."""
+    hh, hw = state["rtr_res_t"].shape
+    qh, qw = ctx["qh"], ctx["qw"]
+    live, rad_q = ctx["live"], ctx["rad_q"]
     lum_old = luminance(rad_q.reshape(-1, 3))
     lum_new = luminance(fresh)
     mismatch = (jnp.abs(lum_new - lum_old)
@@ -265,7 +277,7 @@ def validate_reservoirs(ts, state, gb, sky_env, diffuse_env, frame_idx,
     fresh_h = jnp.repeat(jnp.repeat(fresh.reshape(qh, qw, 3), 2, axis=0),
                          2, axis=1)[:hh, :hw]
     t_h = jnp.repeat(jnp.repeat(
-        jnp.minimum(hit.t, 1e8).reshape(qh, qw), 2, axis=0),
+        jnp.minimum(hit_t, 1e8).reshape(qh, qw), 2, axis=0),
         2, axis=1)[:hh, :hw]
     rows = jnp.arange(hh)[:, None]
     cols = jnp.arange(hw)[None, :]
@@ -308,6 +320,24 @@ def validate_reservoirs(ts, state, gb, sky_env, diffuse_env, frame_idx,
     return new
 
 
+def validate_reservoirs(ts, state, gb, sky_env, diffuse_env, frame_idx,
+                        prev_lit=None, prev_depth=None, view=None,
+                        ircache_lookup=None, max_trace_steps=None,
+                        secondary_full_shading: bool = False):
+    """Standalone reservoir validation (tests / non-batched callers):
+    validation_rays -> trace -> shade -> apply_validation. The frame path
+    batches the rays into its shared secondary wavefront."""
+    org, d, ctx = validation_rays(state, gb)
+    hit = scene_trace_closest(ts, org, d, t_min=RAY_EPS,
+                              max_steps=max_trace_steps)
+    fresh = hit_radiance(ts, hit, d, sky_env, diffuse_env,
+                         prev_lit=prev_lit, prev_depth=prev_depth, view=view,
+                         ircache_lookup=ircache_lookup,
+                         max_trace_steps=max_trace_steps,
+                         full_shading=secondary_full_shading)
+    return apply_validation(state, ctx, hit.t, fresh)
+
+
 def _resolve_full(spec_h, ray_len_h, gb, near: float = 0.01):
     """Half->full joint-bilateral resolve, roughness-aware (role of
     `rtr/resolve.hlsl`'s BRDF-footprint gather). Contact hardening: taps
@@ -324,6 +354,10 @@ def _resolve_full(spec_h, ray_len_h, gb, near: float = 0.01):
     vz_h = vz_ph[0][0]
     n_h = n_ph[0][0]
 
+    # 8-channel packed half-res plane: the 4 bilinear taps of each phase
+    # ride one stacked axis -> tap math traced once per phase, not per tap
+    packed_h = jnp.concatenate([vz_h[..., None], n_h, ray_len_h[..., None],
+                                spec_h], axis=-1)
     out_v = [[None, None], [None, None]]
     out_t = [[None, None], [None, None]]
     for py in (0, 1):
@@ -332,31 +366,25 @@ def _resolve_full(spec_h, ray_len_h, gb, near: float = 0.01):
             nf = n_ph[py][px]
             # tap (ky=py, kx=px) lands at shift (0, 0) = the center tap
             t_center = ray_len_h
-            acc = jnp.zeros_like(spec_h)
-            acct = jnp.zeros_like(ray_len_h)
-            accw = jnp.zeros_like(ray_len_h)
-            for ky in (0, 1):
-                for kx in (0, 1):
-                    dy, dx = ky - 1 + py, kx - 1 + px
-                    bw = ((0.75 if ky != py else 0.25)
-                          * (0.75 if kx != px else 0.25))
-                    zz = im.shift2d(vz_h, dy, dx)
-                    nn = im.shift2d(n_h, dy, dx)
-                    t = im.shift2d(ray_len_h, dy, dx)
-                    v = im.shift2d(spec_h, dy, dx)
-                    w_z = jnp.exp(-jnp.abs(zz - vz) / (0.05 * vz + 1e-4))
-                    w_n = jnp.maximum(jnp.sum(nn * nf, axis=-1), 0.0) ** 16
-                    # contact hardening: a tap with a much longer hit
-                    # distance than the nearest must not blur into the
-                    # contact region
-                    w_t = 1.0 / (1.0 + 2.0 * jnp.abs(t - t_center)
-                                 / (jnp.minimum(t, t_center) + 1e-3))
-                    wt = bw * w_z * w_n * w_t + 1e-6
-                    acc = acc + v * wt[..., None]
-                    acct = acct + t * wt
-                    accw = accw + wt
-            out_v[py][px] = acc / accw[..., None]
-            out_t[py][px] = acct / accw
+            offs = [(ky - 1 + py, kx - 1 + px) for ky in (0, 1)
+                    for kx in (0, 1)]
+            bw = jnp.asarray([(0.75 if ky != py else 0.25)
+                              * (0.75 if kx != px else 0.25)
+                              for ky in (0, 1) for kx in (0, 1)],
+                             jnp.float32)[:, None, None]
+            s = im.shift_stack(packed_h, offs)        # (4, hh, hw, 8)
+            zz, nn = s[..., 0], s[..., 1:4]
+            t, v = s[..., 4], s[..., 5:8]
+            w_z = jnp.exp(-jnp.abs(zz - vz) / (0.05 * vz + 1e-4))
+            w_n = jnp.maximum(jnp.sum(nn * nf, axis=-1), 0.0) ** 16
+            # contact hardening: a tap with a much longer hit distance than
+            # the nearest must not blur into the contact region
+            w_t = 1.0 / (1.0 + 2.0 * jnp.abs(t - t_center)
+                         / (jnp.minimum(t, t_center) + 1e-3))
+            wt = bw * w_z * w_n * w_t + 1e-6
+            accw = jnp.sum(wt, axis=0)
+            out_v[py][px] = jnp.sum(v * wt[..., None], axis=0) / accw[..., None]
+            out_t[py][px] = jnp.sum(t * wt, axis=0) / accw
     return im.weave2x2(out_v), im.weave2x2(out_t)
 
 
@@ -364,8 +392,14 @@ def rtr_pipeline(ts, gb, view, frame_idx, state, reproj, sky_env, diffuse_env,
                  prev_lit=None, prev_depth=None, ircache_lookup=None,
                  max_trace_steps=None, half=None, mesh_light_specular=False,
                  rtdgi_candidates=None, use_restir: bool = True,
-                 secondary_full_shading: bool = False):
-    """Full chain -> (specular radiance (H, W, 3), new_state)."""
+                 secondary_full_shading: bool = False,
+                 validated: bool = False):
+    """Full chain -> (specular radiance (H, W, 3), new_state).
+
+    half: precomputed by the frame's shared secondary-ray wavefront (one
+    trace+shade for all GI passes); traced here standalone when absent.
+    `validated` marks the reservoir state as already validated by the
+    frame's batched validation pass."""
     if half is None:
         half = trace_reflections(
             ts, gb, frame_idx, sky_env, diffuse_env, prev_lit=prev_lit,
@@ -387,17 +421,18 @@ def rtr_pipeline(ts, gb, view, frame_idx, state, reproj, sky_env, diffuse_env,
         # validation runs every VALIDATE_PERIOD frames, before the exchange
         res_state = {k: state[k] for k in res_keys}
 
-        def do_validate(rs):
-            return validate_reservoirs(
-                ts, rs, gb, sky_env, diffuse_env, frame_idx,
-                prev_lit=prev_lit, prev_depth=prev_depth, view=view,
-                ircache_lookup=ircache_lookup,
-                max_trace_steps=max_trace_steps,
-                secondary_full_shading=secondary_full_shading)
+        if not validated:
+            def do_validate(rs):
+                return validate_reservoirs(
+                    ts, rs, gb, sky_env, diffuse_env, frame_idx,
+                    prev_lit=prev_lit, prev_depth=prev_depth, view=view,
+                    ircache_lookup=ircache_lookup,
+                    max_trace_steps=max_trace_steps,
+                    secondary_full_shading=secondary_full_shading)
 
-        res_state = jax.lax.cond(
-            jnp.asarray(frame_idx, jnp.int32) % VALIDATE_PERIOD == 0,
-            do_validate, lambda rs: rs, res_state)
+            res_state = jax.lax.cond(
+                jnp.asarray(frame_idx, jnp.int32) % VALIDATE_PERIOD == 0,
+                do_validate, lambda rs: rs, res_state)
         spec_h, ray_len_h, res_state = restir_reflections(
             res_state, half, gb, reproj, frame_idx,
             rtdgi_candidates=rtdgi_candidates)

@@ -105,24 +105,23 @@ _ATROUS_W = (1.0, 2.0 / 3.0, 1.0 / 6.0)   # 1D B-spline taps
 
 
 def _atrous(img, var, view_z, normal, step: int):
-    """One edge-aware a-trous step (shadow_denoise/spatial_filter.hlsl)."""
+    """One edge-aware a-trous step (shadow_denoise/spatial_filter.hlsl).
+    Taps ride a stacked (9, H, W) axis (img.shift_stack) so the weight math
+    is traced once instead of 9x (compile-size diet, round 4)."""
     sigma_l = jnp.sqrt(jnp.maximum(var, 1e-8)) * 3.0 + 1e-3
-    acc = jnp.zeros_like(img)
-    acc_v = jnp.zeros_like(img)
-    acc_w = jnp.zeros_like(img)
-    for iy, wy in ((-1, _ATROUS_W[1]), (0, _ATROUS_W[0]), (1, _ATROUS_W[1])):
-        for ix, wx in ((-1, _ATROUS_W[1]), (0, _ATROUS_W[0]), (1, _ATROUS_W[1])):
-            dy, dx = iy * step, ix * step
-            v = im.shift2d(img, dy, dx)
-            vv = im.shift2d(var, dy, dx)
-            z = im.shift2d(view_z, dy, dx)
-            nn = im.shift2d(normal, dy, dx)
-            w_z = jnp.exp(-jnp.abs(z - view_z) / (0.1 * view_z + 1e-4))
-            w_n = jnp.maximum(jnp.sum(nn * normal, axis=-1), 0.0) ** 8
-            w_l = jnp.exp(-jnp.abs(v - img) / sigma_l)
-            w = wy * wx * w_z * w_n * w_l
-            acc = acc + v * w
-            acc_v = acc_v + vv * w * w
-            acc_w = acc_w + w
+    offs = [(iy * step, ix * step) for iy in (-1, 0, 1) for ix in (-1, 0, 1)]
+    wk = jnp.asarray([_ATROUS_W[abs(iy)] * _ATROUS_W[abs(ix)]
+                      for iy in (-1, 0, 1) for ix in (-1, 0, 1)], jnp.float32)
+    packed = jnp.concatenate([img[..., None], var[..., None],
+                              view_z[..., None], normal], axis=-1)
+    s = im.shift_stack(packed, offs)                 # (9, H, W, 6)
+    v, vv, z, nn = s[..., 0], s[..., 1], s[..., 2], s[..., 3:6]
+    w_z = jnp.exp(-jnp.abs(z - view_z) / (0.1 * view_z + 1e-4))
+    w_n = jnp.maximum(jnp.sum(nn * normal, axis=-1), 0.0) ** 8
+    w_l = jnp.exp(-jnp.abs(v - img) / sigma_l)
+    w = wk[:, None, None] * w_z * w_n * w_l          # (9, H, W)
+    acc = jnp.sum(v * w, axis=0)
+    acc_v = jnp.sum(vv * w * w, axis=0)
+    acc_w = jnp.sum(w, axis=0)
     inv = 1.0 / jnp.maximum(acc_w, 1e-8)
     return acc * inv, acc_v * inv * inv

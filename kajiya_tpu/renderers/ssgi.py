@@ -58,36 +58,43 @@ def ssao_half(gb, view: ViewConstants, frame_idx, near: float = 0.01):
     # hardware gathers are free (`ssgi/ssgi.hlsl`).
     rot_k = jnp.minimum((u_rot * _N_ROT).astype(jnp.int32), _N_ROT - 1)
 
-    ao = jnp.zeros((hh, hw), jnp.float32)
+    # All DIRS x STEPS x ROT tap offsets, static. The tap math is written
+    # ONCE over a stacked (D*S*K, hh, hw) axis (img.shift_stack) instead of
+    # a 64x unrolled loop — bit-identical, ~60x smaller traced program.
+    offs = []       # (dy, dx) shift offsets, and float (dv, du) uv deltas
+    duv = []
     for d in range(_N_DIRS):
-        max_horizon = jnp.zeros((hh, hw), jnp.float32)
         for s in range(1, _N_STEPS + 1):
             r_px = _RADIUS_PX * (s / _N_STEPS) ** 1.5
-            s_vz = jnp.zeros((hh, hw), jnp.float32)
-            du_sel = jnp.zeros((hh, hw), jnp.float32)
-            dv_sel = jnp.zeros((hh, hw), jnp.float32)
             for k in range(_N_ROT):
                 ang = (d + (k + 0.5) / _N_ROT) * (math.pi / _N_DIRS)
                 dx = int(round(math.cos(ang) * r_px))
                 dy = int(round(math.sin(ang) * r_px))
-                d_tap = im.shift2d(depth_h, -dy, -dx)
-                sel = rot_k == k
-                s_vz = jnp.where(sel, near / jnp.maximum(d_tap, 1e-12), s_vz)
-                du_sel = jnp.where(sel, dx / hw, du_sel)
-                dv_sel = jnp.where(sel, dy / hh, dv_sel)
-            suv = uv + jnp.stack([du_sel, dv_sel], axis=-1)
-            s_ndc = jnp.stack([suv[..., 0] * 2 - 1, 1 - suv[..., 1] * 2], -1)
-            s_vdir = smv.matvec(c2v[:3, :2], s_ndc) + c2v[:3, 2] + c2v[:3, 3]
-            s_vdir = s_vdir / jnp.maximum(-s_vdir[..., 2:3], 1e-8)
-            s_vpos = s_vdir * s_vz[..., None]
-            delta = s_vpos - vpos
-            dist = jnp.linalg.norm(delta, axis=-1)
-            cos_h = jnp.sum(delta * vnorm, axis=-1) / jnp.maximum(dist, 1e-6)
-            # distance falloff keeps far geometry from occluding
-            falloff = jnp.clip(1.0 - dist / (vz * 0.3 + 0.3), 0.0, 1.0)
-            max_horizon = jnp.maximum(max_horizon, jnp.maximum(cos_h, 0.0) * falloff)
-        ao = ao + max_horizon
-    ao = 1.0 - ao / _N_DIRS
+                offs.append((-dy, -dx))
+                duv.append((dx / hw, dy / hh))
+    D, S, K = _N_DIRS, _N_STEPS, _N_ROT
+    taps = im.shift_stack(depth_h, offs).reshape(D, S, K, hh, hw)
+    duv = jnp.asarray(duv, jnp.float32).reshape(D, S, K, 2)
+
+    # per-pixel rotation select: collapse the K axis by rot_k
+    sel = (rot_k[None] == jnp.arange(K)[:, None, None])              # (K,hh,hw)
+    s_vz = near / jnp.maximum(
+        jnp.sum(jnp.where(sel[None, None], taps, 0.0), axis=2), 1e-12)  # (D,S,hh,hw)
+    duv_sel = jnp.sum(jnp.where(sel[None, None, :, :, :, None],
+                                duv[:, :, :, None, None, :], 0.0), axis=2)
+
+    suv = uv[None, None] + duv_sel                      # (D,S,hh,hw,2)
+    s_ndc = jnp.stack([suv[..., 0] * 2 - 1, 1 - suv[..., 1] * 2], -1)
+    s_vdir = smv.matvec(c2v[:3, :2], s_ndc) + c2v[:3, 2] + c2v[:3, 3]
+    s_vdir = s_vdir / jnp.maximum(-s_vdir[..., 2:3], 1e-8)
+    s_vpos = s_vdir * s_vz[..., None]
+    delta = s_vpos - vpos[None, None]
+    dist = jnp.linalg.norm(delta, axis=-1)
+    cos_h = jnp.sum(delta * vnorm[None, None], axis=-1) / jnp.maximum(dist, 1e-6)
+    # distance falloff keeps far geometry from occluding
+    falloff = jnp.clip(1.0 - dist / (vz[None, None] * 0.3 + 0.3), 0.0, 1.0)
+    horizon = jnp.maximum(cos_h, 0.0) * falloff         # (D,S,hh,hw)
+    ao = 1.0 - horizon.max(axis=1).sum(axis=0) / _N_DIRS
     return jnp.where(hit_h, jnp.clip(ao, 0.0, 1.0), 1.0)
 
 

@@ -74,13 +74,10 @@ def _closest_velocity(depth, vel):
     """3x3 velocity dilation toward the closest surface
     (reproject_history.hlsl's dilation; reversed-Z: larger depth = closer)."""
     packed = jnp.concatenate([depth[..., None], vel], axis=-1)
-    best = packed
-    for dy, dx in _OFF3:
-        if dy == 0 and dx == 0:
-            continue
-        s = im.shift2d(packed, dy, dx)
-        closer = s[..., 0:1] > best[..., 0:1]
-        best = jnp.where(closer, s, best)
+    s = im.shift_stack(packed, _OFF3)                # (9, H, W, 3)
+    k = jnp.argmax(s[..., 0], axis=0)                # closest tap index
+    sel = (jnp.arange(len(_OFF3))[:, None, None] == k)[..., None]
+    best = jnp.sum(jnp.where(sel, s, 0.0), axis=0)   # one-hot select, dense
     return best[..., 1:3]
 
 
@@ -90,31 +87,26 @@ def _filter_input(iycc, depth, k_dist: float):
     with a luma cutoff at pass 1's mean (clamps bright outliers).
     Returns (filtered (H,W,3), deviation (H,W,3))."""
     packed = jnp.concatenate([iycc, depth[..., None]], axis=-1)
-    shifts = [(dy, dx, im.shift2d(packed, dy, dx)) for dy, dx in _OFF3]
+    s = im.shift_stack(packed, _OFF3)                # (9, H, W, 4)
+    sy, sd = s[..., :3], s[..., 3]
     d_c = jnp.maximum(depth, 1e-20)
+    kd = jnp.asarray([math.exp(-k_dist * (dy * dy + dx * dx))
+                      for dy, dx in _OFF3], jnp.float32)[:, None, None]
+    rel = jnp.abs(d_c / jnp.maximum(sd, 1e-20) - 1.0)
+    w_base = jnp.exp2(-jnp.minimum(16.0, 200.0 * rel)) * kd  # (9, H, W)
 
     def one_pass(cutoff):
-        wsum = 0.0
-        ex = 0.0
-        for dy, dx, s in shifts:
-            sy, sd = s[..., :3], s[..., 3]
-            rel = jnp.abs(d_c / jnp.maximum(sd, 1e-20) - 1.0)
-            w = jnp.exp2(-jnp.minimum(16.0, 200.0 * rel))
-            w = w * math.exp(-k_dist * (dy * dy + dx * dx))
-            if cutoff is not None:
-                w = w * jnp.clip(cutoff / jnp.maximum(sy[..., 0], 1e-20),
-                                 0.0, 1.0) ** 8
-            wsum = wsum + w
-            ex = ex + sy * w[..., None]
+        w = w_base
+        if cutoff is not None:
+            w = w * jnp.clip(cutoff / jnp.maximum(sy[..., 0], 1e-20),
+                             0.0, 1.0) ** 8
+        wsum = jnp.sum(w, axis=0)
+        ex = jnp.sum(sy * w[..., None], axis=0)
         return ex / jnp.maximum(wsum, 1e-20)[..., None]
 
     # unweighted moments -> deviation
-    m1 = 0.0
-    m2 = 0.0
-    for _, _, s in shifts:
-        m1 = m1 + s[..., :3]
-        m2 = m2 + s[..., :3] ** 2
-    m1, m2 = m1 / 9.0, m2 / 9.0
+    m1 = sy.mean(axis=0)
+    m2 = (sy ** 2).mean(axis=0)
     dev = jnp.sqrt(jnp.maximum(m2 - m1 * m1, 0.0))
 
     mean1 = one_pass(None)
@@ -126,22 +118,18 @@ def _filter_history(hycc, k: int):
     """filter_history.hlsl at render res: two luma-cutoff passes with
     distance weights exp(-0.8/k^2 * d^2), radius k."""
     offs = [(dy, dx) for dy in range(-k, k + 1) for dx in range(-k, k + 1)]
-    shifts = [(dy, dx, im.shift2d(hycc, dy, dx)) for dy, dx in offs]
+    s = im.shift_stack(hycc, offs)                   # (N, H, W, 3)
+    dw = jnp.asarray([math.exp(-(0.8 / (k * k)) * (dy * dy + dx * dx))
+                      for dy, dx in offs], jnp.float32)[:, None, None]
 
     def one_pass(cutoff):
-        wsum = 0.0
-        ex = 0.0
-        for dy, dx, s in shifts:
-            dw = math.exp(-(0.8 / (k * k)) * (dy * dy + dx * dx))
-            if cutoff is None:
-                wsum = wsum + dw
-                ex = ex + s * dw
-            else:
-                w = dw * jnp.clip(cutoff / jnp.maximum(s[..., 0], 1e-20),
-                                  0.0, 1.0) ** 8
-                wsum = wsum + w[..., None]
-                ex = ex + s * w[..., None]
-        return ex / jnp.maximum(wsum, 1e-20)
+        if cutoff is None:
+            w = jnp.broadcast_to(dw, s.shape[:3])
+        else:
+            w = dw * jnp.clip(cutoff / jnp.maximum(s[..., 0], 1e-20),
+                              0.0, 1.0) ** 8
+        return (jnp.sum(s * w[..., None], axis=0)
+                / jnp.maximum(jnp.sum(w, axis=0), 1e-20)[..., None])
 
     luma = one_pass(None)[..., 0]
     return one_pass(luma * 1.001)
@@ -150,43 +138,30 @@ def _filter_history(hycc, k: int):
 def _input_prob(fi, dev, vel, closest_hist, smooth_var_rr, vel_hist_rr):
     """input_prob.hlsl + filter_prob.hlsl + filter_prob2.hlsl."""
     # spatial variance: 3x3 max of the deviation at stride-2 taps
-    ivar = dev
-    for dy, dx in _OFF3:
-        if dy == 0 and dx == 0:
-            continue
-        ivar = jnp.maximum(ivar, im.shift2d(dev, dy * 2, dx * 2))
+    ivar = im.shift_stack(dev, [(dy * 2, dx * 2) for dy, dx in _OFF3]
+                          ).max(axis=0)
     ivar = ivar * ivar
     combined_var = jnp.minimum(smooth_var_rr, ivar * 10.0)
 
     packed = jnp.concatenate([fi, vel], axis=-1)
-    prob = 0.0
-    for dy, dx in _OFF3:
-        s = im.shift2d(packed, dy, dx)
-        idiff = s[..., :3] - closest_hist
-        v = s[..., 3:5]
-        vdiff = _len2((v - vel_hist_rr)
-                      / jnp.maximum(1.0, jnp.abs(v + vel_hist_rr)))
-        p = jnp.exp2(-_len3(idiff * idiff
-                            / jnp.maximum(combined_var, 1e-6))
-                     - 1000.0 * vdiff)
-        prob = jnp.maximum(prob, p)
+    s = im.shift_stack(packed, _OFF3)                # (9, H, W, 5)
+    idiff = s[..., :3] - closest_hist
+    v = s[..., 3:5]
+    vdiff = _len2((v - vel_hist_rr)
+                  / jnp.maximum(1.0, jnp.abs(v + vel_hist_rr)))
+    prob = jnp.exp2(-_len3(idiff * idiff
+                           / jnp.maximum(combined_var, 1e-6))
+                    - 1000.0 * vdiff).max(axis=0)
 
     # filter_prob.hlsl: 3x3 max
-    f1 = prob
-    for dy, dx in _OFF3:
-        if dy == 0 and dx == 0:
-            continue
-        f1 = jnp.maximum(f1, im.shift2d(prob, dy, dx))
+    f1 = im.shift_stack(prob, _OFF3).max(axis=0)
 
     # filter_prob2.hlsl: 5x5 dilated mean in exponential-squish space
     sq = jnp.exp2(-jnp.clip(10.0 * f1, 0.0, 100.0))
-    acc = 0.0
-    n = 0
-    for dy in (-2, -1, 0, 1, 2):
-        for dx in (-2, -1, 0, 1, 2):
-            acc = acc + im.shift2d(sq, dy * 2, dx * 2)
-            n += 1
-    return jnp.maximum(0.0, -0.1 * jnp.log2(1e-30 + acc / n))
+    offs5 = [(dy * 2, dx * 2) for dy in (-2, -1, 0, 1, 2)
+             for dx in (-2, -1, 0, 1, 2)]
+    acc = im.shift_stack(sq, offs5).mean(axis=0)
+    return jnp.maximum(0.0, -0.1 * jnp.log2(1e-30 + acc))
 
 
 def _unjitter_sample(iycc, jitter_px, h, w, out_h, out_w, kernel_scale):
@@ -201,23 +176,18 @@ def _unjitter_sample(iycc, jitter_px, h, w, out_h, out_w, kernel_scale):
     jx, jy = jitter_px[0], jitter_px[1]
 
     if same_res:
-        taps = [(dy, dx, im.shift2d(iycc, dy, dx)) for dy, dx in _OFF3]
-        res = 0.0
-        wt_sum = 0.0
-        ex = 0.0
-        ex2 = 0.0
-        dev_wt_sum = 0.0
-        for dy, dx, col in taps:
-            ox = (dx + jx) * kernel_scale
-            oy = (dy + jy) * kernel_scale
-            d2 = ox * ox + oy * oy
-            dev_wt = jnp.exp2(-d2)
-            wt = jnp.exp2(-10.0 * d2)
-            res = res + col * wt
-            wt_sum = wt_sum + wt
-            ex = ex + col * dev_wt
-            ex2 = ex2 + col * col * dev_wt
-            dev_wt_sum = dev_wt_sum + dev_wt
+        col = im.shift_stack(iycc, _OFF3)            # (9, H, W, 3)
+        dyx = jnp.asarray(_OFF3, jnp.float32)        # (9, 2)
+        ox = (dyx[:, 1] + jx) * kernel_scale
+        oy = (dyx[:, 0] + jy) * kernel_scale
+        d2 = (ox * ox + oy * oy)[:, None, None, None]    # (9,1,1,1)
+        dev_wt = jnp.exp2(-d2)
+        wt = jnp.exp2(-10.0 * d2)
+        res = jnp.sum(col * wt, axis=0)
+        wt_sum = jnp.sum(wt, axis=0)[..., 0]
+        ex = jnp.sum(col * dev_wt, axis=0)
+        ex2 = jnp.sum(col * col * dev_wt, axis=0)
+        dev_wt_sum = jnp.sum(dev_wt, axis=0)
         cov = jnp.broadcast_to(wt_sum, (out_h, out_w))
         return res, cov, ex / dev_wt_sum, ex2 / dev_wt_sum
 
@@ -242,23 +212,18 @@ def _unjitter_sample(iycc, jitter_px, h, w, out_h, out_w, kernel_scale):
                         axis=-1)
     fetched = im.warp_nearest(shifted, base_uv)
 
-    res = 0.0
-    wt_sum = 0.0
-    ex = 0.0
-    ex2 = 0.0
-    dev_wt_sum = 0.0
-    for i, (dy, dx) in enumerate(_OFF3):
-        col = fetched[..., 3 * i:3 * i + 3]
-        ox = (fx + dx / sx) * kernel_scale
-        oy = (fy + dy / sy) * kernel_scale
-        d2 = (ox * ox + oy * oy) * sx
-        dev_wt = jnp.exp2(-d2)[..., None]
-        wt = jnp.exp2(-10.0 * d2)[..., None]
-        res = res + col * wt
-        wt_sum = wt_sum + wt
-        ex = ex + col * dev_wt
-        ex2 = ex2 + col * col * dev_wt
-        dev_wt_sum = dev_wt_sum + dev_wt
+    col = fetched.reshape(out_h, out_w, 9, 3).transpose(2, 0, 1, 3)
+    dyx = jnp.asarray(_OFF3, jnp.float32)
+    ox = (fx[None] + (dyx[:, 1] / sx)[:, None, None]) * kernel_scale
+    oy = (fy[None] + (dyx[:, 0] / sy)[:, None, None]) * kernel_scale
+    d2 = (ox * ox + oy * oy) * sx                    # (9, H, W)
+    dev_wt = jnp.exp2(-d2)[..., None]
+    wt = jnp.exp2(-10.0 * d2)[..., None]
+    res = jnp.sum(col * wt, axis=0)
+    wt_sum = jnp.sum(wt, axis=0)
+    ex = jnp.sum(col * dev_wt, axis=0)
+    ex2 = jnp.sum(col * col * dev_wt, axis=0)
+    dev_wt_sum = jnp.sum(dev_wt, axis=0)
     return (res, wt_sum[..., 0],
             ex / jnp.maximum(dev_wt_sum, 1e-20),
             ex2 / jnp.maximum(dev_wt_sum, 1e-20))

@@ -83,13 +83,14 @@ def sky_radiance(direction, sun_direction, altitude: float = 200.0, steps: int =
     ph_m = _phase_mie(cos_sun)[..., None]
     mu_s = sun_direction[1]
 
-    accum_r = jnp.zeros(d.shape[:-1] + (3,))
-    accum_m = jnp.zeros(d.shape[:-1] + (3,))
-    od_r = jnp.zeros(d.shape[:-1])
-    od_m = jnp.zeros(d.shape[:-1])
+    # fori_loop, not an unrolled Python loop: the march is traced once per
+    # call site, and the frame has several call sites (env build, background,
+    # per-wavefront miss shading) — unrolling was ~500 HLO eqns per site
+    import jax
 
-    for i in range(steps):
-        t = (i + 0.5) * ds
+    def step_body(i, carry):
+        accum_r, accum_m, od_r, od_m = carry
+        t = (i.astype(jnp.float32) + 0.5) * ds
         r = jnp.sqrt(jnp.maximum(r0 * r0 + t * t + 2.0 * r0 * t * mu, 1.0))
         h = r - EARTH_RADIUS
         dr, dm = _densities(h)
@@ -104,6 +105,12 @@ def sky_radiance(direction, sun_direction, altitude: float = 200.0, steps: int =
         trans = jnp.exp(-tau)
         accum_r = accum_r + trans * (dr * ds)[..., None]
         accum_m = accum_m + trans * (dm * ds)[..., None]
+        return accum_r, accum_m, od_r, od_m
+
+    accum_r, accum_m, od_r, od_m = jax.lax.fori_loop(
+        0, steps, step_body,
+        (jnp.zeros(d.shape[:-1] + (3,)), jnp.zeros(d.shape[:-1] + (3,)),
+         jnp.zeros(d.shape[:-1]), jnp.zeros(d.shape[:-1])))
 
     radiance = SUN_INTENSITY * (accum_r * BETA_RAYLEIGH * ph_r + accum_m * BETA_MIE * ph_m)
     # fade everything below the horizon to a dark ground
