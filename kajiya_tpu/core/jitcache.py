@@ -18,19 +18,26 @@ _CACHE_DIR = os.path.join(os.path.dirname(os.path.dirname(
 
 
 def enable(cache_dir: str | None = None) -> str | None:
+    import sys
+
     import jax
 
     path = cache_dir or _CACHE_DIR
     try:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
-        # cache everything that took noticeable time; entries are small
-        # relative to the minutes-long frame compiles they save
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception as e:
+        # cache is an optimization, never a hard dependency — but a silently
+        # disabled cache costs minutes per run, so make the failure visible
+        print(f"# jitcache disabled ({type(e).__name__}: {e})",
+              file=sys.stderr)
+        return None
+    # cache everything that took noticeable time; entries are small
+    # relative to the minutes-long frame compiles they save
+    for knob, val in (("jax_persistent_cache_min_compile_time_secs", 2.0),
+                      ("jax_persistent_cache_min_entry_size_bytes", 0)):
         try:
-            jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+            jax.config.update(knob, val)
         except Exception:
             pass  # knob renamed/absent on some jax versions
-        return path
-    except Exception:
-        return None  # cache is an optimization, never a hard dependency
+    return path

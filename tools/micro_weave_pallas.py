@@ -1,7 +1,10 @@
 """Micro-benchmark: 2x2 phase weave (4 half-res planes -> full-res):
 XLA stack+reshape vs MXU one-hot matmuls vs Pallas kernels."""
-import sys; sys.path.insert(0, "/root/repo")
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -62,20 +65,23 @@ def make(kern, bw=128):
 
 
 def bench(f, name, *args):
+    jf = jax.jit(f)
     try:
-        r = jax.jit(f)(*args)
+        r = jf(*args)
         r.block_until_ready()
     except Exception as e:
         print(f"{name}: FAIL {type(e).__name__}: {str(e)[:160]}")
         return None
     ref = np.asarray(jax.jit(weave_xla)(*p))
-    ok = np.allclose(np.asarray(r), ref)
+    if not np.allclose(np.asarray(r), ref):
+        print(f"{name}: FAIL wrong output (excluded from comparison)")
+        return None
     t0 = time.perf_counter()
     for _ in range(20):
-        r = jax.jit(f)(*args)
+        r = jf(*args)
     r.block_until_ready()
     dt = (time.perf_counter() - t0) / 20 * 1e3
-    print(f"{name}: ok={ok} {dt:.3f} ms")
+    print(f"{name}: ok=True {dt:.3f} ms")
     return dt
 
 
