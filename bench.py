@@ -30,6 +30,15 @@ BASELINE_MS = 8.4
 WIDTH, HEIGHT = 1920, 1080
 N_TIMED = 4
 
+# Wall-clock guard: optional sections (diorama, RMSE) are skipped when the
+# run is close to the driver's timeout, so the headline datum always lands.
+_T_START = time.time()
+_DEADLINE_S = float(os.environ.get("KAJIYA_BENCH_DEADLINE", 1500))
+
+
+def _time_left():
+    return _DEADLINE_S - (time.time() - _T_START)
+
 
 def _device_ms_from_trace(trace_dir):
     """Median duration of the top-level jit device events, in ms."""
@@ -135,10 +144,67 @@ def main():
     # driver contract (one line) holds. Tries the Pallas streaming tracer
     # first; on a Mosaic-rejecting libtpu, retries via the XLA culled path
     # (KAJIYA_NO_PALLAS_TRACE honored by rt/trace.py).
-    dio = _bench_diorama()
-    if dio is not None:
-        result["extra"] = dio
+    extra = []
+    if _time_left() > 300:
+        dio = _bench_diorama()
+        if dio is not None:
+            extra.append(dio)
+    else:
+        print("# skipping diorama bench (deadline)", file=sys.stderr)
+    # third datum: RMSE of the converged hybrid vs the PT oracle (the
+    # BASELINE.json metric is the triplet ms / Mrays/s / RMSE; the oracle
+    # comparison mirrors tests/test_oracle.py at a fixed tiny config)
+    if _time_left() > 240:
+        rmse = _bench_rmse(ts, levels)
+        if rmse is not None:
+            extra.append(rmse)
+    else:
+        print("# skipping rmse bench (deadline)", file=sys.stderr)
+    if extra:
+        result["extra"] = extra if len(extra) > 1 else extra[0]
     print(json.dumps(result))
+
+
+def _bench_rmse(ts, levels):
+    """RMSE of the 16-frame hybrid vs a 48-spp PT oracle (64x48 cornell,
+    the tests/test_oracle.py configuration, pixel_filter off for
+    point-sample parity)."""
+    import jax
+
+    from kajiya_tpu.core.camera import make_view_constants
+    from kajiya_tpu.frame import (RenderConfig, init_frame_state,
+                                  init_reference_state, render_frame,
+                                  render_frame_reference)
+    from kajiya_tpu.ops.hoist import jit_hoisted
+
+    w, h = 64, 48
+    try:
+        view = make_view_constants((0.0, 0.0, 2.4), (0.0, 0.0, -1.0),
+                                   fov_y_deg=55.0, width=w, height=h)
+        cfg = RenderConfig(width=w, height=h, max_trace_steps=256,
+                           use_taa=False, use_motion_blur=False)
+        rstate = init_reference_state(cfg)
+        rstep = jit_hoisted(lambda s: render_frame_reference(
+            ts, s, view, cfg, levels=levels, num_bounces=5,
+            pixel_filter=False))
+        for _ in range(48):
+            rstate, rout = rstep(rstate)
+        pt = np.asarray(rout["lit"])
+        state = init_frame_state(cfg)
+        step = jit_hoisted(
+            lambda s: render_frame(ts, s, view, cfg, levels=levels))
+        for _ in range(16):
+            state, out = step(state)
+        hy = np.asarray(out["lit"])
+        rmse = float(np.sqrt(np.mean((hy - pt) ** 2)))
+        return {"metric": "rmse_vs_oracle_cornell_16f",
+                "value": round(rmse, 4), "unit": "rmse",
+                "vs_baseline": round(rmse / 0.21, 3),   # current test bound
+                "frames": 16, "oracle_spp": 48}
+    except Exception as e:
+        print(f"# rmse bench failed: {type(e).__name__}: {str(e)[:120]}",
+              file=sys.stderr)
+        return None
 
 
 def _bench_diorama():

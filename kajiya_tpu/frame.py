@@ -30,6 +30,7 @@ from .core.camera import ViewConstants
 from .core.profiling import pass_scope
 from .renderers import deferred, gbuffer, ircache, post, reprojection, rtdgi, rtr, shadows, ssgi, taa
 from .renderers.ircache import IrcacheConfig
+from .renderers.wrc import WrcConfig
 from .sky import env as sky_env_mod
 from .world import refresh_trace_scene
 
@@ -55,6 +56,11 @@ class RenderConfig:
     use_restir_gi: bool = True
     use_mesh_light_specular: bool = False   # auto-enabled by Renderer when
                                             # the scene has emissive lights
+    # World radiance cache: traced + bound into secondary hit lighting when
+    # on. Matches the reference's wired-but-default-off status
+    # (`world_render_passes.rs:101-111`).
+    use_wrc: bool = False
+    wrc: WrcConfig = WrcConfig()
     use_motion_blur: bool = True
     motion_blur_scale: float = 0.5
     # Shade secondary (GI/reflection/ircache) hits with interpolated vertex
@@ -118,6 +124,10 @@ def init_frame_state(cfg: RenderConfig):
         from .renderers import restir_gi
 
         state.update(restir_gi.init_state(h, w))
+    if cfg.use_wrc:
+        from .renderers import wrc as wrc_mod
+
+        state.update(wrc_mod.init_state(cfg.wrc))
     return state
 
 
@@ -253,10 +263,27 @@ def render_frame(ts, state, view: ViewConstants, cfg: RenderConfig,
     rtr_state_in = {k: state[k] for k in rtr_keys}
     rtdgi_candidates = None
     gi_invalidity = None
+
+    # --- world radiance cache ('wrc trace' pass): update probes, expose the
+    # lookup to secondary hit lighting (off by default, like the reference)
+    wrc_state = {}
+    wrc_lookup = None
+    if cfg.use_wrc:
+        from .renderers import wrc as wrc_mod
+
+        wrc_cfg = cfg.wrc
+        with pass_scope("wrc"):
+            wrc_state = wrc_mod.trace_wrc(
+                {"wrc_atlas": state["wrc_atlas"]}, ts, sky_env, diffuse_env,
+                frame_idx, wrc_cfg, max_trace_steps=mts)
+
+        def wrc_lookup(p, d, _st=wrc_state, _c=wrc_cfg):
+            return wrc_mod.lookup(_st, _c, p, d)
+
     shade_kw = dict(
         prev_lit=state["prev_lit"], prev_depth=state["prev_depth"],
         view=view, ircache_lookup=ircache_lookup, max_trace_steps=mts,
-        full_shading=cfg.secondary_full_shading)
+        full_shading=cfg.secondary_full_shading, wrc_lookup=wrc_lookup)
     gb_h = rtdgi.half_gbuffer(gb) if (cfg.use_rtdgi or cfg.use_rtr) else None
     rtr_half = None
     use_gi_restir = cfg.use_rtdgi and cfg.use_restir_gi
@@ -443,7 +470,7 @@ def render_frame(ts, state, view: ViewConstants, cfg: RenderConfig,
         "prev_depth": gb["depth"],
         "prev_lit": lit,
         **shadow_state, **ssgi_state, **rtdgi_state, **rtr_state,
-        **taa_state, **exp_state, **ir_state, **restir_state,
+        **taa_state, **exp_state, **ir_state, **restir_state, **wrc_state,
     }
     outputs = {
         "final": final, "lit": lit, "gbuffer": gb, "shadow": shadow,

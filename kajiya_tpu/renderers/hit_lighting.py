@@ -39,7 +39,8 @@ def hit_radiance(ts, hit, ray_dir, sky_env, diffuse_env,
                  prev_lit=None, prev_depth=None, view=None,
                  ircache_lookup=None, max_trace_steps=None, near: float = 0.01,
                  rng=None, light_nee: bool = True,
-                 full_shading: bool = False, return_aux: bool = False):
+                 full_shading: bool = False, return_aux: bool = False,
+                 wrc_lookup=None, wrc_min_t: float = 20.0):
     """Radiance arriving along `ray_dir` from hit/miss points. (R,) rays.
 
     prev_lit/prev_depth + view enable screen-space radiance reuse (the
@@ -113,6 +114,14 @@ def hit_radiance(ts, hit, ray_dir, sky_env, diffuse_env,
         same = jnp.abs(vz_stored / jnp.maximum(vz_expected, 1e-6) - 1.0) < 0.05
         use = (inb & same & m & (pd > 0))[:, None]
         radiance = jnp.where(use, reused, radiance)
+
+    # --- world radiance cache for far-field hits: beyond `wrc_min_t` the
+    # probe grid's radiance replaces the full shade (the reference keeps
+    # WRC bound-but-dummy in every GI pass, `world_render_passes.rs:101-111`
+    # / `wrc.rs:191-198`; when enabled this is its lookup site)
+    if wrc_lookup is not None:
+        far = m & (hit.t > wrc_min_t)
+        radiance = jnp.where(far[:, None], wrc_lookup(pos, ray_dir), radiance)
 
     # --- miss: sky
     sky = sample_env(sky_env, ray_dir)

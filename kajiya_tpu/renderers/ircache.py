@@ -40,13 +40,15 @@ _Y1 = 0.48860251
 @dataclass(frozen=True)
 class IrcacheConfig:
     """Static configuration (shapes!). Capacity follows the reference scale
-    (`ircache.rs:26-36`): 64Ki entries, 8 cascades x 32^3 clipmap (reference:
-    12 x 32^3); the per-frame ray cost is bounded by `active_budget` — the
-    reference's own typical active set is <=16k entries
-    (`gi-overview.md:461-464`), and entries beyond the budget are traced
-    round-robin across frames."""
+    (`ircache.rs:26-36`, `frame_constants.rs:4`): 64Ki entries, 12 cascades
+    x 32^3 clipmap — at base_cell_size 0.25 the outermost cascade spans a
+    +-8192-unit half-extent, enough for battle.ron-class worlds; the
+    per-frame ray cost is bounded by `active_budget` — the reference's own
+    typical active set is <=16k entries (`gi-overview.md:461-464`), and
+    entries beyond the budget are traced round-robin across frames. The
+    indirection grid costs cascades x 32^3 x 4 B = 1.5 MiB at 12."""
 
-    cascades: int = 8
+    cascades: int = 12
     grid_res: int = 32          # cells per cascade side
     max_entries: int = 65536    # `ircache.rs:30` MAX_ENTRIES = 64Ki
     rays_per_entry: int = 4     # `ircache.rs:35` IRCACHE_SAMPLES_PER_FRAME

@@ -54,8 +54,14 @@ def candidate_rays(gb_h, frame_idx):
     px = jnp.arange(hh * hw, dtype=jnp.uint32)
     rng = rng_mod.pixel_rng(px % jnp.uint32(hw), px // jnp.uint32(hw),
                             jnp.uint32(frame_idx), stream=23)
-    u1, rng = rng_mod.rand_u01(rng)
-    u2, rng = rng_mod.rand_u01(rng)
+    # blue-noise hemisphere sample (reference feeds trace_diffuse from its
+    # blue-noise LUT): candidate directions decorrelate between neighbors,
+    # which ReSTIR spatial reuse turns directly into lower resolve variance
+    from ..core import bluenoise
+
+    bu1, bu2 = bluenoise.blue_noise_pair(hh, hw, frame_idx, stream=1)
+    u1 = bu1.reshape(-1)
+    u2 = bu2.reshape(-1)
 
     n = gb_h["normal"].reshape(-1, 3)
     gn = gb_h["geo_normal"].reshape(-1, 3)

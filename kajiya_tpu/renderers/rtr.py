@@ -72,8 +72,13 @@ def reflection_rays(gb, frame_idx):
     px = jnp.arange(hh * hw, dtype=jnp.uint32)
     rng = rng_mod.pixel_rng(px % jnp.uint32(hw), px // jnp.uint32(hw),
                             jnp.uint32(frame_idx), stream=31)
-    u1, rng = rng_mod.rand_u01(rng)
-    u2, rng = rng_mod.rand_u01(rng)
+    # blue-noise VNDF sample (reference's rtr blue-noise sampler SSBOs,
+    # rtr.rs:18-73): glossy lobes get maximally-spread neighbor samples
+    from ..core import bluenoise
+
+    bu1, bu2 = bluenoise.blue_noise_pair(hh, hw, frame_idx, stream=2)
+    u1 = bu1.reshape(-1)
+    u2 = bu2.reshape(-1)
 
     nf = n.reshape(-1, 3)
     wo = -rd.reshape(-1, 3)

@@ -30,11 +30,15 @@ def trace_sun_shadow_mask(ts, gb, frame_idx, max_trace_steps=None):
     ray per pixel per frame (the reference's 1.65/px budget includes GI's
     shadow rays; the primary mask itself is 1/px)."""
     h, w = gb["depth"].shape
-    px = jnp.arange(h * w, dtype=jnp.uint32)
-    rng = rng_mod.pixel_rng(px % jnp.uint32(w), px // jnp.uint32(w),
-                            jnp.uint32(frame_idx), stream=7)
-    u1, rng = rng_mod.rand_u01(rng)
-    u2, rng = rng_mod.rand_u01(rng)
+    # blue-noise cone sample (the reference draws the sun-disk jitter from
+    # its blue-noise LUT, trace_sun_shadow_mask.rgen.hlsl): neighbor pixels
+    # get maximally-separated samples, so the penumbra error is
+    # high-frequency and the a-trous denoiser removes it at equal spp
+    from ..core import bluenoise
+
+    bu1, bu2 = bluenoise.blue_noise_pair(h, w, frame_idx, stream=0)
+    u1 = bu1.reshape(-1)
+    u2 = bu2.reshape(-1)
     cos_max = jnp.cos(ts.gpu.sun_angular_radius)
     local = uniform_cone(u1, u2, cos_max)
     sun_dir = to_world(

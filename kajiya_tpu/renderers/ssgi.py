@@ -46,10 +46,12 @@ def ssao_half(gb, view: ViewConstants, frame_idx, near: float = 0.01):
 
     import math
 
-    px = jnp.arange(hh * hw, dtype=jnp.uint32).reshape(hh, hw)
-    rng = rng_mod.pixel_rng(px % jnp.uint32(hw), px // jnp.uint32(hw),
-                            jnp.uint32(frame_idx), stream=11)
-    u_rot, rng = rng_mod.rand_u01(rng)
+    # blue-noise rotation pick: neighbor pixels land in different rotation
+    # classes, so the Q-level banding dissolves into high-frequency error
+    # (the reference rotates by blue noise too, ssgi.hlsl)
+    from ..core import bluenoise
+
+    u_rot = bluenoise.blue_noise_plane(hh, hw, frame_idx, stream=6)
     # Quantized per-pixel kernel rotation: with Q discrete rotations every
     # tap position becomes a STATIC pixel offset, so the depth fetch is a
     # shift (free on TPU) instead of a gather (~4 ms each at half res —

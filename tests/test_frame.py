@@ -97,3 +97,55 @@ class TestJitter:
         j = np.stack([np.asarray(jitter_for_frame(i)) for i in range(16)])
         assert (np.abs(j) <= 0.5).all()
         assert len(np.unique(j.round(4), axis=0)) == 16
+
+
+class TestWrc:
+    def test_wrc_lookup_bound_in_hit_lighting(self, cornell_setup):
+        """`use_wrc` exercises wrc.lookup inside hit lighting: far-field
+        hits (t > wrc_min_t) must return the probe radiance (the
+        reference's bound-interface contract, world_render_passes.rs:101-111)."""
+        import jax.numpy as jnp
+
+        from kajiya_tpu.renderers.hit_lighting import hit_radiance
+        from kajiya_tpu.renderers import wrc as wrc_mod
+        from kajiya_tpu.rt.trace import scene_trace_closest
+        from kajiya_tpu.sky.atmosphere import sky_radiance
+        from kajiya_tpu.sky import env as sky_env_mod
+
+        ts, levels, view = cornell_setup
+        wcfg = wrc_mod.WrcConfig(grid=(2, 1, 2), probe_res=8)
+        st = wrc_mod.init_state(wcfg)
+        st = {"wrc_atlas": st["wrc_atlas"] + 7.5}     # sentinel radiance
+
+        sun = ts.gpu.sun_direction
+        sky_env = lambda d: sky_radiance(d, sun, steps=6)    # noqa: E731
+        small = sky_env_mod.build_sky_env(sun, res=16)
+        diffuse_env = sky_env_mod.sh9_irradiance_fn(
+            sky_env_mod.project_sh9(small))
+
+        org = jnp.array([[0.0, 0.0, 0.0]] * 2, jnp.float32)
+        d = jnp.array([[0.0, 0.0, -1.0], [0.0, 0.0, 1.0]], jnp.float32)
+        hit = scene_trace_closest(ts, org, d, max_steps=256)
+        rad = hit_radiance(
+            ts, hit, d, sky_env, diffuse_env,
+            wrc_lookup=lambda p, dd: wrc_mod.lookup(st, wcfg, p, dd),
+            wrc_min_t=0.0)   # every hit is "far": must come from the probes
+        rad = np.asarray(rad)
+        hm = np.asarray(hit.hit_mask)
+        assert hm.any()
+        assert np.allclose(rad[hm], 7.5, atol=1e-5)
+
+    def test_frame_with_wrc_enabled(self, cornell_setup):
+        from kajiya_tpu.renderers.wrc import WrcConfig
+
+        ts, levels, view = cornell_setup
+        cfg = small_cfg(use_wrc=True, use_ircache=False,
+                        use_restir_gi=False, use_motion_blur=False,
+                        wrc=WrcConfig(grid=(2, 1, 2), probe_res=8))
+        state = init_frame_state(cfg)
+        assert "wrc_atlas" in state
+        state, out = jax.jit(
+            lambda s: render_frame(ts, s, view, cfg, levels=levels))(state)
+        assert np.all(np.isfinite(np.asarray(out["final"])))
+        # probes saw the lit box: the atlas must no longer be all zeros
+        assert float(np.abs(np.asarray(state["wrc_atlas"])).max()) > 0.0

@@ -286,3 +286,24 @@ class TestTraceIntegration:
         sh0 = np.asarray(st["ircache_sh"])[v][:, :, 0]
         assert (sh0 > 0).all()          # DC term positive: light reached probes
         assert np.isfinite(np.asarray(st["ircache_sh"])).all()
+
+
+class TestWorldExtent:
+    def test_default_cascade_count_matches_reference(self):
+        # `frame_constants.rs:4` IRCACHE_CASCADE_COUNT = 12
+        assert IrcacheConfig().cascades == 12
+
+    def test_far_surface_allocates_in_outer_cascade(self):
+        # A surface ~600 units out needs cascade >= 8 (half extent at the
+        # default base_cell_size 0.25 is 4 * 2^c); 8 cascades covered only
+        # +-512 — the reference's 12 reach +-8192 (battle.ron-class worlds).
+        cfg = IrcacheConfig(max_entries=64)
+        st = irc.init_state(cfg)
+        q = jnp.array([[600.0, 0.0, 0.0]], jnp.float32)
+        mask = jnp.ones((1,), bool)
+        grid = irc.build_grid(st, EYE, cfg)
+        st = irc.allocate(st, grid, q, mask, EYE, 0, cfg)
+        assert int(np.asarray(st["ircache_valid"]).sum()) == 1
+        casc, in_range = irc._cascade_of(q, EYE, cfg)
+        assert bool(np.asarray(in_range)[0])
+        assert int(np.asarray(casc)[0]) >= 8
