@@ -46,6 +46,10 @@ class RenderConfig:
     near: float = 0.01
     max_trace_steps: int | None = None   # None = run traversal to completion
     sun_soft_shadows: bool = True
+    # Primary visibility: "trace" = coherent camera-ray trace (RTX-on
+    # analog), "raster" = tile-binned software rasterizer ("raster simple",
+    # the RTX-off path, BASELINE config 1). Identical gbuffer output.
+    primary: str = "trace"
     use_rtdgi: bool = True
     use_rtr: bool = True
     use_ssao: bool = True
@@ -169,8 +173,10 @@ def render_frame(ts, state, view: ViewConstants, cfg: RenderConfig,
 
     # --- primary visibility ("raster simple")
     with pass_scope("gbuffer"):
-        gb = gbuffer.raytrace_gbuffer(ts, view, w, h, max_trace_steps=mts,
-                                      no_normal_maps=cfg.no_normal_maps)
+        primary = (gbuffer.raster_gbuffer if cfg.primary == "raster"
+                   else gbuffer.raytrace_gbuffer)
+        gb = primary(ts, view, w, h, max_trace_steps=mts,
+                     no_normal_maps=cfg.no_normal_maps)
 
     # --- render overrides (debug isolation knobs, render_overrides.rs)
     if cfg.force_face_normals:

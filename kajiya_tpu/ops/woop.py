@@ -116,7 +116,8 @@ def build_clusters(v0, e1, e2, pad_to: int, tri_block: int = TRI_BLOCK):
 
 
 def intersect_brute(woop, org, d, t_min=1e-4, t_max=None, any_hit=False,
-                    tri_block: int = TRI_BLOCK, ray_block: int = RAY_BLOCK):
+                    tri_block: int = TRI_BLOCK, ray_block: int = RAY_BLOCK,
+                    chunk_cluster_mask=None):
     """Closest-hit over ALL triangles. org/d: (R, 3). Returns (t, tri, u, v)
     with t = INF / tri = -1 on miss. t_max may be scalar or (R,).
 
@@ -125,7 +126,11 @@ def intersect_brute(woop, org, d, t_min=1e-4, t_max=None, any_hit=False,
     triangle blocks no ray in the chunk can hit are SKIPPED via a scalar
     branch — the TPU-native 'traversal': coherent chunks visit only the
     handful of blocks their frustum touches, and the inner loop stays dense
-    matmul work (the stream-tracing formulation for wide-SIMD machines)."""
+    matmul work (the stream-tracing formulation for wide-SIMD machines).
+
+    chunk_cluster_mask: optional (n_ray_chunks, C) bool — a caller-computed
+    active-block mask replacing the in-chunk slab test (the rasterizer bins
+    blocks by exact screen-rect overlap, renderers/raster.py)."""
     rtot = org.shape[0]
     ttot3 = woop["a_d"].shape[0]
     ttot = ttot3 // 3
@@ -157,9 +162,14 @@ def intersect_brute(woop, org, d, t_min=1e-4, t_max=None, any_hit=False,
     have_clusters = "cmin" in woop and woop.get("cmin") is not None
 
     def ray_chunk(carry, inputs):
-        o_blk, d_blk, tmax_blk = inputs
+        if chunk_cluster_mask is not None:
+            o_blk, d_blk, tmax_blk, cluster_mask = inputs
+        else:
+            o_blk, d_blk, tmax_blk = inputs
 
-        if have_clusters:
+        if chunk_cluster_mask is not None:
+            pass
+        elif have_clusters:
             # chunk-level cull: does ANY ray in this chunk enter cluster c?
             o3 = o_blk[:, :3]
             eps = 1e-12
@@ -211,6 +221,10 @@ def intersect_brute(woop, org, d, t_min=1e-4, t_max=None, any_hit=False,
     inputs = (o_aug.reshape(nrb, ray_block, 4),
               d.reshape(nrb, ray_block, 3),
               t_max.reshape(nrb, ray_block))
+    if chunk_cluster_mask is not None:
+        assert chunk_cluster_mask.shape[0] == nrb, (
+            chunk_cluster_mask.shape, nrb)
+        inputs = inputs + (chunk_cluster_mask,)
     _, (t, tri, u, v) = jax.lax.scan(ray_chunk, 0, inputs)
     t = t.reshape(-1)[:rtot]
     tri = tri.reshape(-1)[:rtot]

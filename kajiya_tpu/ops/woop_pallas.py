@@ -310,13 +310,19 @@ def _kernel_culled(count_ref, o_ref, d_ref, tmax_ref, blist_hbm,
 
 
 def intersect_culled_pallas(woop, org, d, t_min=1e-4, t_max=None,
-                            any_hit: bool = False, interpret: bool = False):
+                            any_hit: bool = False, interpret: bool = False,
+                            block_lists=None):
     """Cluster-culled streaming intersector for large scenes. The XLA side
     computes a conservative per-chunk active-block list (beam vs cluster
     spheres at CULL_TB granularity); the kernel walks only those blocks,
     double-buffering their 5 KB transform DMAs behind the intersection
     math. This is the software TLAS: visits scale with what each coherent
-    ray chunk can actually see, not with scene size."""
+    ray chunk can actually see, not with scene size.
+
+    block_lists: optional (blist (nrb, C) i32 active-first, count (nrb,))
+    computed by the caller (the rasterizer's exact screen-rect binning,
+    renderers/raster.py) replacing the beam cull. Ray padding must already
+    match CULL_RAY_BLOCK chunks."""
     import functools as _ft
 
     rtot = org.shape[0]
@@ -338,7 +344,12 @@ def intersect_culled_pallas(woop, org, d, t_min=1e-4, t_max=None,
     r = org.shape[0]
     nrb = r // rb
 
-    blist, count = _active_blocks(woop, org, d, t_max, nrb, rb)
+    if block_lists is not None:
+        blist, count = block_lists
+        assert blist.shape[0] == nrb and count.shape[0] == nrb, (
+            blist.shape, count.shape, nrb)
+    else:
+        blist, count = _active_blocks(woop, org, d, t_max, nrb, rb)
     nt_pad = -(-nt // 128) * 128
     if nt_pad != nt:
         blist = jnp.pad(blist, ((0, 0), (0, nt_pad - nt)))

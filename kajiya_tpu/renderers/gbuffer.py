@@ -55,6 +55,30 @@ def raytrace_gbuffer(ts: TraceScene, view: ViewConstants, width: int, height: in
         hit = jax.tree_util.tree_map(
             lambda x: untile_order(x, height, width).reshape(-1), hit)
         df = d.reshape(-1, 3)
+    return gbuffer_from_hit(ts, view, hit, df, width, height,
+                            no_normal_maps=no_normal_maps)
+
+
+def raster_gbuffer(ts: TraceScene, view: ViewConstants, width: int,
+                   height: int, max_trace_steps=None,
+                   no_normal_maps: bool = False):
+    """Rasterized primary visibility ("raster simple" / RTX-off mode,
+    `raster_meshes.rs:28-178`): exact screen-rect binned visibility
+    (renderers/raster.py) feeding the SAME gbuffer planes — bit-identical
+    hits to `raytrace_gbuffer`, tighter per-tile work on large scenes."""
+    from .raster import raster_hit
+
+    _, d = camera_rays(view, width, height)
+    hit = raster_hit(ts, view, width, height, max_trace_steps=max_trace_steps)
+    return gbuffer_from_hit(ts, view, hit, d.reshape(-1, 3), width, height,
+                            no_normal_maps=no_normal_maps)
+
+
+def gbuffer_from_hit(ts: TraceScene, view: ViewConstants, hit, df,
+                     width: int, height: int, no_normal_maps: bool = False):
+    """Shared attribute interpolation + packing: per-pixel Hit -> gbuffer
+    dict (the `raster_simple_ps.hlsl` / gbuffer-packing half of the pass).
+    hit/df are flat row-major over (height, width) pixels."""
     attrs = hit_attributes(ts, hit, df, no_normal_maps=no_normal_maps,
                            with_prev_pos=True)
 
