@@ -151,6 +151,33 @@ def main():
             extra.append(dio)
     else:
         print("# skipping diorama bench (deadline)", file=sys.stderr)
+    # RTX-off raster mode at 720p (BASELINE config 1: "raster mode, 720p").
+    # The bundled 336_lrm scene is missing its .bin in this mount; the
+    # cornell stands in. Raster primary + dummy shadow/GI, like the
+    # reference's ray_tracing_enabled()=false path.
+    if _time_left() > 240:
+        try:
+            cfg = RenderConfig(width=1280, height=720, primary="raster",
+                               sun_soft_shadows=False, use_rtdgi=False,
+                               use_rtr=False, use_ircache=False,
+                               use_restir_gi=False)
+            view720 = make_view_constants(
+                (0.0, 0.0, 2.4), (0.0, 0.0, -1.0), fov_y_deg=55.0,
+                width=1280, height=720)
+            state = init_frame_state(cfg)
+            step = jit_hoisted(
+                lambda s, _c=cfg: render_frame(ts, s, view720, _c,
+                                               levels=levels))
+            ms, how = _measure(step, state)
+            extra.append({"metric": "raster_mode_frame_ms_720p",
+                          "value": round(ms, 3), "unit": "ms",
+                          "vs_baseline": round(ms / 1.15, 3),  # raster pass
+                          "timing": how})
+        except Exception as e:
+            print(f"# raster bench failed: {type(e).__name__}: "
+                  f"{str(e)[:120]}", file=sys.stderr)
+    else:
+        print("# skipping raster bench (deadline)", file=sys.stderr)
     # third datum: RMSE of the converged hybrid vs the PT oracle (the
     # BASELINE.json metric is the triplet ms / Mrays/s / RMSE; the oracle
     # comparison mirrors tests/test_oracle.py at a fixed tiny config)
@@ -163,6 +190,38 @@ def main():
     if extra:
         result["extra"] = extra if len(extra) > 1 else extra[0]
     print(json.dumps(result))
+
+
+def _bench_mrays(ts, view):
+    """Primary-visibility trace rate on the current scene (the BASELINE
+    'Mrays/s' metric): 1080p coherent camera rays through the production
+    tracer, device-trace timed."""
+    import jax
+
+    from kajiya_tpu.core.camera import camera_rays
+    from kajiya_tpu.ops.tiling import tile_order
+    from kajiya_tpu.rt.trace import scene_trace_closest
+
+    try:
+        org, d = camera_rays(view, WIDTH, HEIGHT)
+        orgf = tile_order(org).reshape(-1, 3)
+        df = tile_order(d).reshape(-1, 3)
+        run = jax.jit(lambda: scene_trace_closest(ts, orgf, df))
+        jax.block_until_ready(run())
+        trace_dir = tempfile.mkdtemp(prefix="kajiya_mrays_trace_")
+        with jax.profiler.trace(trace_dir):
+            for _ in range(4):
+                out = run()
+            jax.block_until_ready(out)
+            time.sleep(2.0)
+        ms = _device_ms_from_trace(trace_dir)
+        if ms is None:
+            return None
+        return round(orgf.shape[0] / (ms * 1e-3) / 1e6, 1)
+    except Exception as e:
+        print(f"# mrays bench failed: {type(e).__name__}: {str(e)[:120]}",
+              file=sys.stderr)
+        return None
 
 
 def _bench_rmse(ts, levels):
@@ -243,12 +302,16 @@ def _bench_diorama():
             step = jit_hoisted(
                 lambda s: render_frame(ts, s, view, cfg, levels=levels))
             ms, how = _measure(step, state)
-            return {"metric": "hybrid_gi_frame_ms_1080p_diorama",
-                    "value": round(ms, 3), "unit": "ms",
-                    "tris": int(gpu.num_triangles),
-                    "vs_baseline": round(ms / BASELINE_MS, 3),
-                    "timing": how,
-                    "tracer": "xla_culled" if pallas_off else "pallas"}
+            rec = {"metric": "hybrid_gi_frame_ms_1080p_diorama",
+                   "value": round(ms, 3), "unit": "ms",
+                   "tris": int(gpu.num_triangles),
+                   "vs_baseline": round(ms / BASELINE_MS, 3),
+                   "timing": how,
+                   "tracer": "xla_culled" if pallas_off else "pallas"}
+            mrays = _bench_mrays(ts, view)
+            if mrays is not None:
+                rec["primary_mrays_per_s"] = mrays
+            return rec
         except Exception as e:
             print(f"# diorama bench ({'xla' if pallas_off else 'pallas'}) "
                   f"failed: {type(e).__name__}: {str(e)[:120]}",

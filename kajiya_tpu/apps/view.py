@@ -54,6 +54,13 @@ def main(argv=None):
     p.add_argument("--width", type=int, default=1280)      # opt.rs defaults
     p.add_argument("--height", type=int, default=720)
     p.add_argument("--temporal-upsampling", type=float, default=1.0)
+    p.add_argument("--primary", choices=("trace", "raster"), default="trace",
+                   help="primary visibility: coherent trace or the binned "
+                        "software rasterizer (RTX-off path)")
+    p.add_argument("--rtx-off", action="store_true",
+                   help="raster primary + no ray-traced passes (BASELINE "
+                        "config 1: dummy shadow/GI like the reference's "
+                        "ray_tracing_enabled()=false fallback)")
     p.add_argument("--mode", choices=("standard", "reference"),
                    default="standard")
     p.add_argument("--frames", type=int, default=8,
@@ -87,9 +94,16 @@ def main(argv=None):
                          jitter_for_frame, render_frame_reference)
 
     scene = build_scene(args.scene)
+    kw = dict(primary=args.primary)
+    if args.rtx_off:
+        # `world_render_passes.rs:18-22,123-127`: RT off => dummy shadow /
+        # GI / reflection inputs; raster primary; screen-space AO stays
+        kw = dict(primary="raster", sun_soft_shadows=False,
+                  use_rtdgi=False, use_rtr=False, use_ircache=False,
+                  use_restir_gi=False)
     cfg = RenderConfig(width=args.width, height=args.height,
                        temporal_upsampling=args.temporal_upsampling,
-                       debug_mode=args.debug_mode, ev_shift=args.ev)
+                       debug_mode=args.debug_mode, ev_shift=args.ev, **kw)
     cam_pos, cam_dir = args.camera[:3], args.camera[3:]
 
     r = Renderer(scene, cfg, ibl=args.ibl)

@@ -35,7 +35,10 @@ _PHI = 0.6180339887498949  # 1/golden ratio
 _CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))), "cache")
 
-_masks = None  # lazy (N_MASKS, BN_SIZE, BN_SIZE) jnp.float32
+# Lazy (N_MASKS, BN_SIZE, BN_SIZE) — cached as NUMPY, never as a jax array:
+# the first call can happen inside a jit trace, where any jnp conversion is
+# staged and caching it would leak a DynamicJaxprTracer into later traces.
+_masks = None
 
 
 def _gauss_fft(n: int, sigma: float = 1.9):
@@ -99,7 +102,7 @@ def _load_masks():
             np.save(path, arr)
         except Exception:
             pass  # cache miss only costs re-bake next process
-    _masks = jnp.asarray(arr, jnp.float32)
+    _masks = np.ascontiguousarray(arr, np.float32)
     return _masks
 
 
@@ -116,7 +119,7 @@ def blue_noise_plane(h: int, w: int, frame_idx, stream: int = 0):
                               stream=101 + stream)
         return rng_mod.u01(r).reshape(h, w)
     masks = _load_masks()
-    bn = masks[stream % _N_MASKS]
+    bn = jnp.asarray(masks[stream % _N_MASKS])   # per-call lift (see _masks)
     if stream >= _N_MASKS:
         bn = jnp.mod(bn + _PHI * (stream // _N_MASKS), 1.0)
     # toroidal shift by the frame's R2 offset (dynamic roll of the tile)

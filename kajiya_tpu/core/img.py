@@ -133,14 +133,58 @@ def downsample_min(img):
     return img[:h, :w].reshape(h // 2, 2, w // 2, 2).min(axis=(1, 3))
 
 
-def decimate2(img):
-    """img[::2, ::2] via reshape + unit slice: XLA lowers a stride-2 slice
-    to its serial gather path on TPU (~4-8 ms at 1080p); the reshaped view
-    makes it a contiguous slice + copy instead."""
+def _sel2(n: int, dtype, off: int = 0):
+    """(n//2, n) one-hot row-selection matrix: S[i, 2i + off] = 1."""
+    import jax
+
+    r = jax.lax.broadcasted_iota(jnp.int32, (n // 2, n), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (n // 2, n), 1)
+    return (c == 2 * r + off).astype(dtype)
+
+
+def phase_extract(img, py: int, px: int):
+    """img[py::2, px::2] via one-hot MXU matmuls (see decimate2 — measured
+    13x over phase reshapes at 1080p; exact)."""
+    import jax
+
     h, w = img.shape[0] // 2 * 2, img.shape[1] // 2 * 2
     x = img[:h, :w]
-    x = x.reshape((h // 2, 2, w // 2, 2) + img.shape[2:])
-    return x[:, 0, :, 0]
+    hp = jax.lax.Precision.HIGHEST
+    dl = _sel2(h, x.dtype, py)
+    dr = _sel2(w, x.dtype, px)
+    if x.ndim == 2:
+        return jax.lax.dot(dl, jax.lax.dot(x, dr.T, precision=hp),
+                           precision=hp)
+    t = jnp.einsum("hk,kwc->hwc", dl, x, precision=hp)
+    return jnp.einsum("hwc,vw->hvc", t, dr, precision=hp)
+
+
+
+
+def decimate2(img):
+    """img[::2, ::2] as one-hot selection matmuls on the MXU.
+
+    Measured (device trace, v5e, 1080p): stride-2 slice 5.9 ms, reshape +
+    unit slice 1.19 ms/plane (3.55 ms HW3) — phase reshapes relayout T(8,128)
+    tiles with stride-2 shuffles — vs 0.09 ms/plane (0.22 HW3) for
+    S_rows @ X @ S_cols^T. Exact: each output element is one input element,
+    and precision=HIGHEST carries full f32 through the MXU passes.
+    Non-float dtypes (bool masks) keep the reshape+slice path."""
+    import jax
+
+    h, w = img.shape[0] // 2 * 2, img.shape[1] // 2 * 2
+    x = img[:h, :w]
+    if not jnp.issubdtype(img.dtype, jnp.floating):
+        x = x.reshape((h // 2, 2, w // 2, 2) + img.shape[2:])
+        return x[:, 0, :, 0]
+    hp = jax.lax.Precision.HIGHEST
+    dl = _sel2(h, x.dtype)
+    dr = _sel2(w, x.dtype)
+    if x.ndim == 2:
+        return jax.lax.dot(dl, jax.lax.dot(x, dr.T, precision=hp),
+                           precision=hp)
+    t = jnp.einsum("hk,kwc->hwc", dl, x, precision=hp)
+    return jnp.einsum("hwc,vw->hvc", t, dr, precision=hp)
 
 
 def downsample_nearest(img):
@@ -254,21 +298,42 @@ def interleave_cols(a, b):
 
 def phase_split(x):
     """(H, W[, C]) -> nested [[p00, p01], [p10, p11]] half-res phase planes
-    (p[py][px][i, j] = x[2i+py, 2j+px]): ONE relayout reshape shared by all
-    four phases, vs four strided slices."""
-    h, w = x.shape[0], x.shape[1]
-    r = x.reshape((h // 2, 2, w // 2, 2) + x.shape[2:])
-    return [[r[:, py, :, px] for px in (0, 1)] for py in (0, 1)]
+    (p[py][px][i, j] = x[2i+py, 2j+px]) via one-hot MXU matmuls (see
+    decimate2 — device-measured 13x over the phase reshape at 1080p; the
+    (H/2, 2, W/2, 2) reshape relayouts T(8,128) tiles with stride-2
+    shuffles)."""
+    return [[phase_extract(x, py, px) for px in (0, 1)] for py in (0, 1)]
 
 
 def weave2x2(ph):
-    """Inverse of phase_split: 4 half-res phase planes -> (H, W[, C]) in a
-    single stack+reshape (one relayout; the old interleave_rows/cols chain
-    paid one per step per plane)."""
-    hh, hw = ph[0][0].shape[0], ph[0][0].shape[1]
-    rows = [jnp.stack(r, axis=2) for r in ph]    # (hh, hw, 2[, C])
-    x = jnp.stack(rows, axis=1)                  # (hh, 2, hw, 2[, C])
-    return x.reshape((2 * hh, 2 * hw) + ph[0][0].shape[2:])
+    """Inverse of phase_split: 4 half-res phase planes -> (H, W[, C]) as
+    one-hot MXU matmuls: out[2i+py, 2j+px] = ph[py][px][i, j]. Device-
+    measured 6x over stack+reshape at 1080p (0.23 vs 1.46 ms/plane, 0.73 vs
+    4.36 ms HW3). Exact — one-hot selection at HIGHEST precision."""
+    import jax
+
+    p00, p01 = ph[0][0], ph[0][1]
+    p10, p11 = ph[1][0], ph[1][1]
+    hh, hw = p00.shape[0], p00.shape[1]
+    dt = p00.dtype
+    hp = jax.lax.Precision.HIGHEST
+    r0 = _sel2(2 * hh, dt, 0).T        # (2hh, hh): R[2i, i] = 1
+    r1 = _sel2(2 * hh, dt, 1).T
+    c0 = _sel2(2 * hw, dt, 0)          # (hw, 2hw): C[j, 2j] = 1
+    c1 = _sel2(2 * hw, dt, 1)
+    if p00.ndim == 2:
+        m0 = jax.lax.dot(p00, c0, precision=hp) + jax.lax.dot(
+            p01, c1, precision=hp)
+        m1 = jax.lax.dot(p10, c0, precision=hp) + jax.lax.dot(
+            p11, c1, precision=hp)
+        return jax.lax.dot(r0, m0, precision=hp) + jax.lax.dot(
+            r1, m1, precision=hp)
+    m0 = (jnp.einsum("hwc,wv->hvc", p00, c0, precision=hp)
+          + jnp.einsum("hwc,wv->hvc", p01, c1, precision=hp))
+    m1 = (jnp.einsum("hwc,wv->hvc", p10, c0, precision=hp)
+          + jnp.einsum("hwc,wv->hvc", p11, c1, precision=hp))
+    return (jnp.einsum("gh,hwc->gwc", r0, m0, precision=hp)
+            + jnp.einsum("gh,hwc->gwc", r1, m1, precision=hp))
 
 
 def half_to_full_taps(half):

@@ -112,26 +112,51 @@ def trace_candidates(ts, gb_h, frame_idx, sky_env, diffuse_env,
 
 def _edge_aware_upsample(half_img, gb, near: float = 0.01):
     """Half->full resolve guided by depth+normal (restir_resolve.hlsl's
-    role): joint-bilateral over the 4-tap footprint, built GATHER-FREE from
-    phase-interleaved static shifts (core/img.py::half_to_full_taps)."""
+    role): joint-bilateral over the 4-tap footprint.
+
+    PHASE-MAJOR form (round-4 profile: the interleaved-taps version spent
+    ~9 ms/frame in (H/2, 2, W/2, 2) relayout copies at 1080p): all tap math
+    runs on half-res phase planes — taps are cheap static half-res shifts,
+    the full-res guides are MXU phase extracts — and the four finished
+    phases are woven once at the end (im.weave2x2). Values are identical:
+    one-hot selection keeps exact f32, and per-phase tap weights are the
+    same scalars the interleaved weight planes tiled."""
     vz = near / jnp.maximum(gb["depth"], 1e-12)
     vz_h = near / jnp.maximum(im.decimate2(gb["depth"]), 1e-12)
     n_full = gb["normal"]
     n_h = im.decimate2(gb["normal"])
 
-    v_taps, weights = im.half_to_full_taps(half_img)
-    z_taps, _ = im.half_to_full_taps(vz_h)
-    n_taps, _ = im.half_to_full_taps(n_h)
+    # all 9 half-res shifts once (ky-1+py, kx-1+px ranges over -1..1)
+    offs = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    v_s = im.shift_stack(half_img, offs)
+    z_s = im.shift_stack(vz_h, offs)
+    n_s = im.shift_stack(n_h, offs)
 
-    acc = jnp.zeros_like(v_taps[0])
-    accw = jnp.zeros(v_taps[0].shape[:2], jnp.float32)
-    for v, zz, nn, bw in zip(v_taps, z_taps, n_taps, weights):
-        w_z = jnp.exp(-jnp.abs(zz - vz) / (0.05 * vz + 1e-4))
-        w_n = jnp.maximum(jnp.sum(nn * n_full, axis=-1), 0.0) ** 8
-        wt = bw * w_z * w_n + 1e-6
-        acc = acc + v * wt[..., None]
-        accw = accw + wt
-    return acc / accw[..., None]
+    def idx(dy, dx):
+        return (dy + 1) * 3 + (dx + 1)
+
+    phases = {}
+    for py in (0, 1):
+        for px in (0, 1):
+            vz_p = im.phase_extract(vz, py, px)
+            n_p = im.phase_extract(n_full, py, px)
+            acc = jnp.zeros_like(v_s[0])
+            accw = jnp.zeros(v_s[0].shape[:2], jnp.float32)
+            for ky in (0, 1):
+                wy = (0.25, 0.75)[py] if ky == 0 else (0.75, 0.25)[py]
+                for kx in (0, 1):
+                    wx = (0.25, 0.75)[px] if kx == 0 else (0.75, 0.25)[px]
+                    k = idx(ky - 1 + py, kx - 1 + px)
+                    w_z = jnp.exp(-jnp.abs(z_s[k] - vz_p)
+                                  / (0.05 * vz_p + 1e-4))
+                    w_n = jnp.maximum(jnp.sum(n_s[k] * n_p, axis=-1),
+                                      0.0) ** 8
+                    wt = wy * wx * w_z * w_n + 1e-6
+                    acc = acc + v_s[k] * wt[..., None]
+                    accw = accw + wt
+            phases[(py, px)] = acc / accw[..., None]
+    return im.weave2x2([[phases[(0, 0)], phases[(0, 1)]],
+                        [phases[(1, 0)], phases[(1, 1)]]])
 
 
 def rtdgi_pipeline(ts, gb, view, frame_idx, state, reproj, sky_env,

@@ -210,3 +210,72 @@ class TestIblHdr:
         env = panorama_to_env(img, res=16)
         assert env.shape == (16, 16, 3)
         np.testing.assert_allclose(np.asarray(env), 1.0, rtol=1e-6)
+
+
+class TestStreamViewer:
+    """Presentation layer (apps/stream.py): mailbox semantics + HTTP
+    endpoints against a stub renderer (no jit compile in this test)."""
+
+    def test_mailbox_latest_wins(self):
+        from kajiya_tpu.apps.stream import FrameMailbox
+
+        mb = FrameMailbox()
+        mb.put(np.zeros((2, 2, 3), np.uint8))
+        mb.put(np.ones((2, 2, 3), np.uint8))
+        frame, seq = mb.get(0, timeout=0.1)
+        assert frame is not None and frame.max() == 1 and seq == 2
+
+    def test_http_endpoints(self):
+        import json
+        import threading
+        import urllib.request
+
+        from kajiya_tpu.apps.stream import serve
+
+        class StubRenderer:
+            class _Cfg:
+                width, height = 8, 6
+            cfg = _Cfg()
+            _last_error = None
+
+            def draw(self, view):
+                return {"final": np.full((6, 8, 3), 0.5, np.float32)}
+
+            def rebuild(self):
+                pass
+
+        class StubView:
+            pass
+
+        # avoid make_view_constants (jax) in the loop: monkeypatch via module
+        import kajiya_tpu.apps.stream as sm
+
+        orig = sm.render_loop
+
+        def loop(vs, mailbox, *a):
+            stop = a[-1]
+            while not stop.is_set():
+                out = vs.renderer.draw(None)
+                img = np.asarray(out["final"])
+                mailbox.put((img * 255).astype(np.uint8))
+                stop.wait(0.01)
+
+        sm.render_loop = loop
+        try:
+            srv, stopev = serve(StubRenderer(), (0, 0, 2), (0, 0, -1),
+                                port=0, block=False)
+            port = srv.server_address[1]
+            snap = urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/snap", timeout=10).read()
+            assert snap[:4] == b"\x89PNG"
+            st = json.loads(urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/status", timeout=5).read())
+            assert st["debug_mode"] == "none"
+            r = json.loads(urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/set?ev=1.5&orbit=0.2",
+                timeout=5).read())
+            assert r["ev"] == 1.5 and r["orbit"] == 0.2
+            stopev.set()
+            srv.shutdown()
+        finally:
+            sm.render_loop = orig
