@@ -220,7 +220,9 @@ def render_frame(ts, state, view: ViewConstants, cfg: RenderConfig,
                 ir_state, ts, sky_env, diffuse_env, eye, frame_idx,
                 cfg.ircache, max_trace_steps=mts,
                 secondary_full_shading=cfg.secondary_full_shading)
-            ir_grid = ircache.build_grid(ir_state, eye, cfg.ircache)
+            ir_grid = ircache.build_value_grid(
+                ir_state, ircache.build_grid(ir_state, eye, cfg.ircache),
+                cfg.ircache)
 
         def ircache_lookup(p, n, _st=ir_state, _g=ir_grid, _e=eye):
             return ircache.lookup_irradiance(_st, _g, p, n, _e, diffuse_env,

@@ -129,6 +129,24 @@ def build_grid(state, eye, cfg: IrcacheConfig):
 # Allocation (age -> scan -> compact, re-designed)
 # ----------------------------------------------------------------------------
 
+def build_value_grid(state, grid, cfg: IrcacheConfig):
+    """(C, 13) f32 per-cell payload [SH(12), life] of the cell's entry;
+    zero rows = empty cell (conf 0 -> sky fallback in lookup).
+
+    Rationale (round-4 1080p profile): the lookup's cell->entry 1-wide s32
+    gather costs ~6.6 ns/row on XLA's serial path (6.9 ms for the 1M-ray
+    GI wavefront) while a 13-wide row gather costs ~1.3 ns/row; baking the
+    entry payload into the cell rows turns the double gather into one wide
+    fetch. Built once per frame from the index grid: one 13-wide gather
+    over C cells (~0.5 ms)."""
+    e = cfg.max_entries
+    rows = jnp.concatenate([state["ircache_sh"].reshape(e, 12),
+                            state["ircache_life"][:, None]], axis=-1)
+    has = grid >= 0
+    vg = rows.at[jnp.where(has, grid, 0)].get(mode="promise_in_bounds")
+    return jnp.where(has[:, None], vg, 0.0)
+
+
 def allocate(state, grid, query_pos, query_mask, eye, frame_idx,
              cfg: IrcacheConfig):
     """Allocate entries for query cells that lack one; touch existing ones.
@@ -366,19 +384,24 @@ def lookup_irradiance(state, grid, pos, normal, eye, diffuse_env,
         grid = build_grid(state, eye, cfg)
     cas, in_range = _cascade_of(pos, eye, cfg)
     flat, ok, _ = _cell_of(pos, eye, cas, cfg)
-    entry = jnp.where(in_range & ok,
-                      grid.at[flat].get(mode="promise_in_bounds"), -1)
-    has = entry >= 0
-    se = jnp.maximum(entry, 0)
+    if getattr(grid, "ndim", 1) == 2:
+        # value grid (build_value_grid): ONE 13-wide row fetch per query
+        safe = jnp.where(in_range & ok, flat, 0)
+        row = grid.at[safe].get(mode="promise_in_bounds")
+        row = jnp.where((in_range & ok)[..., None], row, 0.0)
+    else:
+        entry = jnp.where(in_range & ok,
+                          grid.at[flat].get(mode="promise_in_bounds"), -1)
+        se = jnp.maximum(entry, 0)
 
-    # SH coeffs + lifetime packed into one 13-wide row -> ONE gather per
-    # query instead of three (XLA CSEs the pack across call sites);
-    # promise_in_bounds skips XLA's per-index clamp logic
-    e_total = state["ircache_sh"].shape[0]
-    lut = jnp.concatenate([
-        state["ircache_sh"].reshape(e_total, 12),
-        state["ircache_life"][:, None]], axis=-1)
-    row = lut.at[se].get(mode="promise_in_bounds")   # (..., 13)
+        # SH coeffs + lifetime packed into one 13-wide row -> ONE gather
+        # per query instead of three (XLA CSEs the pack across call sites)
+        e_total = state["ircache_sh"].shape[0]
+        lut = jnp.concatenate([
+            state["ircache_sh"].reshape(e_total, 12),
+            state["ircache_life"][:, None]], axis=-1)
+        row = lut.at[se].get(mode="promise_in_bounds")   # (..., 13)
+        row = jnp.where((entry >= 0)[..., None], row, 0.0)
     sh = row[..., :12].reshape(row.shape[:-1] + (3, 4))
     n = normal
     # E(n)/pi = L00 Y00 + (2/3) sum L1m Y1m(n) — explicit slice math (a
@@ -391,8 +414,8 @@ def lookup_irradiance(state, grid, pos, normal, eye, diffuse_env,
         sh[..., 0] * b0 + sh[..., 1] * b1[..., None]
         + sh[..., 2] * b2[..., None] + sh[..., 3] * b3[..., None], 0.0)
 
-    # young entries: blend toward sky fallback by confidence
+    # young entries: blend toward sky fallback by confidence. Missing
+    # entries carry a zeroed row (conf 0), so the blend alone handles them.
     conf = jnp.clip(row[..., 12] / 4.0, 0.0, 1.0)[..., None]
     fallback = sample_env(diffuse_env, n)
-    return jnp.where(has[..., None], e_over_pi * conf + fallback * (1 - conf),
-                     fallback)
+    return e_over_pi * conf + fallback * (1 - conf)

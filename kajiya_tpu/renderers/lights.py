@@ -26,10 +26,21 @@ def sample_triangle_light(ts, pos, rng):
     u1, rng = rng_mod.rand_u01(rng)
     u2, rng = rng_mod.rand_u01(rng)
     b1, b2 = uniform_triangle(u1, u2)
-    lp = ts.light_v0[li] + ts.light_e1[li] * b1[:, None] + ts.light_e2[li] * b2[:, None]
-    l_n = ts.light_normal[li]        # precomputed in refresh_trace_scene
-    emission = ts.light_emission[li]
-    area = ts.light_area[li]
+    # ONE packed fetch for all per-light columns. Separate narrow gathers
+    # were ~17 ms/frame at 1080p (a 1-wide f32 gather costs ~6.6 ns/row on
+    # the serial path; a 16-wide row costs 1.3 ns — and a small table rides
+    # the one-hot MXU path entirely, ops/gather.py::fetch_rows_t).
+    from ..ops.gather import fetch_rows_t
+
+    packed = jnp.concatenate(
+        [ts.light_v0, ts.light_e1, ts.light_e2, ts.light_normal,
+         ts.light_emission, ts.light_area[:, None]], axis=-1)   # (L, 16)
+    rows = fetch_rows_t(packed, li)                             # (16, R)
+    lv0, le1, le2 = rows[0:3].T, rows[3:6].T, rows[6:9].T
+    l_n = rows[9:12].T
+    emission = rows[12:15].T
+    area = rows[15]
+    lp = lv0 + le1 * b1[:, None] + le2 * b2[:, None]
 
     to_l = lp - pos
     dist2 = smv.dot3(to_l, to_l)

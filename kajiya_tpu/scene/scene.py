@@ -218,11 +218,16 @@ def _build_gpu_scene(scene: Scene, max_lights: int = 4096,
     mat_metal = np.array([m.metallic for m in materials], np.float32)
     mat_rough = np.array([m.roughness for m in materials], np.float32)
 
-    # Emissive triangle lights (cf. `world_renderer.rs:741-773`)
+    # Emissive triangle lights (cf. `world_renderer.rs:741-773`). Padded to
+    # the ACTUAL count rounded up to 8, not the max_lights cap: the light
+    # table rides per-ray NEE fetches (a one-hot MXU gather when small,
+    # lights.py) and (R, L) membership compares, both of which scale with
+    # the pad. Shapes are already scene-dependent, so this costs nothing.
     is_emissive = (mat_emis[tri_mat] > 0).any(axis=-1)
     light_ids = np.nonzero(is_emissive)[0].astype(np.int32)
     n_lights = min(len(light_ids), max_lights)
-    light_tri = np.full(max(max_lights, 1), -1, np.int32)
+    pad_l = max(8, -(-n_lights // 8) * 8)
+    light_tri = np.full(pad_l, -1, np.int32)
     light_tri[:n_lights] = light_ids[:n_lights]
 
     sun_dir = scene.sun_direction / np.linalg.norm(scene.sun_direction)

@@ -74,11 +74,22 @@ for e in ev:
     if n.startswith("jit_"):
         continue
     args = e.get("args", {}) or {}
-    src = args.get("tf_op") or args.get("source_info") or n
-    # first named_scope component = the pass
-    head = src.split("/")[0] if "/" in src else "(fusion/other)"
-    agg[head] += e["dur"] / 1000.0
-    total += e["dur"] / 1000.0
+    dur = float(args.get("device_duration_ps", 0)) / 1e9 or e["dur"] / 1000.0
+    src = args.get("tf_op") or ""
+    parts = [p for p in src.split("/") if p]
+    # strip the jit(...) wrapper the profiler now prefixes, then the first
+    # named_scope component is the pass; scan/while bodies lose the scope,
+    # fall back to the python source file
+    while parts and (parts[0].startswith("jit(")
+                     or parts[0].startswith("pjit")):
+        parts = parts[1:]
+    head = parts[0] if parts else None
+    if head in (None, "while", "body", "cond", "closed_call", "checkpoint"):
+        s = args.get("source") or ""
+        head = ("src:" + s.split("/")[-1].split(":")[0]) if s \
+            else "(unattributed)"
+    agg[head] += dur
+    total += dur
 
 per_frame = total / max(N, 1)
 print(f"\n{W}x{H}, {N} frames — device total {total:.1f} ms, "
