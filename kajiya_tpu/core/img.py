@@ -117,20 +117,39 @@ def warp_nearest(img, uv, exact: bool = False):
     return sample_nearest(img, uv)
 
 
+def _avg2(n: int, dtype):
+    """(n//2, n) two-hot 0.5-averaging matrix."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (n // 2, n), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (n // 2, n), 1)
+    half = jnp.asarray(0.5, dtype)
+    return ((c == 2 * r) | (c == 2 * r + 1)).astype(dtype) * half
+
+
 def downsample_2x(img):
-    """2x2 box reduce (the `half_res` extraction family, half_res.rs:4-44)."""
+    """2x2 box reduce (the `half_res` extraction family, half_res.rs:4-44)
+    as two-hot 0.5-averaging MXU matmuls — the (H/2, 2, W/2, 2) reshape it
+    replaces relayouts T(8,128) tiles with stride-2 shuffles (~1-3.5 ms per
+    1080p plane, see decimate2)."""
     h, w = img.shape[0] // 2 * 2, img.shape[1] // 2 * 2
     x = img[:h, :w]
-    if img.ndim == 3:
-        x = x.reshape(h // 2, 2, w // 2, 2, -1)
-        return x.mean(axis=(1, 3))
-    x = x.reshape(h // 2, 2, w // 2, 2)
-    return x.mean(axis=(1, 3))
+    hp = jax.lax.Precision.HIGHEST
+    dl = _avg2(h, x.dtype)
+    dr = _avg2(w, x.dtype)
+    if x.ndim == 2:
+        return jax.lax.dot(dl, jax.lax.dot(x, dr.T, precision=hp),
+                           precision=hp)
+    t = jnp.einsum("hk,kwc->hwc", dl, x, precision=hp)
+    return jnp.einsum("hwc,vw->hvc", t, dr, precision=hp)
 
 
 def downsample_min(img):
-    h, w = img.shape[0] // 2 * 2, img.shape[1] // 2 * 2
-    return img[:h, :w].reshape(h // 2, 2, w // 2, 2).min(axis=(1, 3))
+    """2x2 min reduce: elementwise min over the four MXU phase extracts
+    (min has no matmul form; four cheap extracts beat one phase relayout)."""
+    a = phase_extract(img, 0, 0)
+    b = phase_extract(img, 0, 1)
+    c = phase_extract(img, 1, 0)
+    d = phase_extract(img, 1, 1)
+    return jnp.minimum(jnp.minimum(a, b), jnp.minimum(c, d))
 
 
 def _sel2(n: int, dtype, off: int = 0):

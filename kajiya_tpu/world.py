@@ -189,7 +189,11 @@ def refresh_trace_scene(gpu: GpuScene, bvh: Bvh, levels,
         e1p, e2p, v0p,
         g_n,
         gpu.tri_inst[:, None].astype(jnp.float32),
-    ], axis=-1)                                           # (T, 31)
+        # vertex ids as f32 (exact below 2^24): riding the wide row kills
+        # the separate (R, 3) tri_idx gather + its column extractions
+        # (~8 ms/frame at 1080p on the serial gather path)
+        gpu.tri_idx.astype(jnp.float32),
+    ], axis=-1)                                           # (T, 34)
     # vertex attributes stay OBJECT-space (shared across instances — true
     # instancing); hit_attributes rotates normals/tangents to world with
     # the per-hit instance rotation, the reference's object->world hit
@@ -265,8 +269,11 @@ def hit_attributes(ts: TraceScene, hit, ray_dir, mip: int = 0,
         # full_shading=False and shade with the face normal — the tradeoff
         # is chosen by `RenderConfig.secondary_full_shading` (default True
         # = the reference's gbuffer.rchit behavior).
-        idx = take_rows(gpu.tri_idx, tri)                   # (R, 3)
-        va = interp3_rows_t(ts.vert_attrs, idx[:, 0], idx[:, 1], idx[:, 2],
+        # vertex ids ride the wide tri_attrs row (see refresh_trace_scene)
+        idx0 = jnp.round(ta[31]).astype(jnp.int32)
+        idx1 = jnp.round(ta[32]).astype(jnp.int32)
+        idx2 = jnp.round(ta[33]).astype(jnp.int32)
+        va = interp3_rows_t(ts.vert_attrs, idx0, idx1, idx2,
                             w, hit.u, hit.v)                # (9, R)
         # vertex attrs are OBJECT-space (shared across instances): rotate
         # by the hit instance's rotation — a tiny one-hot fetch of the
