@@ -125,8 +125,14 @@ def main():
                 ms, how = _measure(step, state)
                 result = {"metric": metric, "value": round(ms, 3),
                           "unit": "ms",
-                          "vs_baseline": round(ms / BASELINE_MS, 3),
+                          # a reduced fallback config is NOT comparable to
+                          # the reference's full-GI 8.4 ms; only the full
+                          # config gets a vs_baseline ratio
+                          "vs_baseline": (round(ms / BASELINE_MS, 3)
+                                          if not kw else -1.0),
                           "timing": how}
+                if kw:
+                    result["degraded"] = sorted(kw)
                 break
             except Exception as e:
                 print(f"# {metric} attempt {attempt} failed: "

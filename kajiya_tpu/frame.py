@@ -46,10 +46,14 @@ class RenderConfig:
     near: float = 0.01
     max_trace_steps: int | None = None   # None = run traversal to completion
     sun_soft_shadows: bool = True
-    # Primary visibility: "trace" = coherent camera-ray trace (RTX-on
-    # analog), "raster" = tile-binned software rasterizer ("raster simple",
-    # the RTX-off path, BASELINE config 1). Identical gbuffer output.
-    primary: str = "trace"
+    # Primary visibility: "raster" = tile-binned software rasterizer
+    # ("raster simple" — the reference rasterizes its gbuffer too,
+    # `raster_meshes.rs:28-178`; RT starts at the shadow/GI rays), "trace" =
+    # coherent camera-ray trace. Identical gbuffer output (same Woop
+    # intersector); raster's exact screen-rect binning replaces the 3D
+    # cone cull for primaries — strictly tighter lists, and sky tiles bin
+    # to zero blocks where a cone cull cannot.
+    primary: str = "raster"
     use_rtdgi: bool = True
     use_rtr: bool = True
     use_ssao: bool = True

@@ -71,8 +71,14 @@ def _intersect_block(o_aug, d, a_o_blk, a_d_blk, valid_blk, t_min, t_max,
                      cur_t, cur_tri, cur_u, cur_v, tri_base, any_hit):
     """One (RB rays) x (TB tris) block. a_*_blk rows grouped [u|v|w] x TB."""
     tb = valid_blk.shape[0]
-    q = jnp.dot(o_aug, a_o_blk.T, preferred_element_type=jnp.float32)
-    r = jnp.dot(d, a_d_blk.T, preferred_element_type=jnp.float32)
+    # HIGHEST: the MXU's default bf16 passes shift borderline hits by up to
+    # ~1e-3 relative — enough to open cracks on shared edges (measured:
+    # 47/65536 diorama primaries disagreed with the exact VPU kernel,
+    # tools/check_culled_onchip.py); ray transforms must be exact f32
+    q = jnp.dot(o_aug, a_o_blk.T, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+    r = jnp.dot(d, a_d_blk.T, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
     qu, qv, qw = q[:, :tb], q[:, tb:2 * tb], q[:, 2 * tb:]
     ru, rv, rw = r[:, :tb], r[:, tb:2 * tb], r[:, 2 * tb:]
 

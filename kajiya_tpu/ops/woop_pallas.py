@@ -129,8 +129,20 @@ def intersect_scene_pallas(woop, org, d, t_min=1e-4, t_max=None,
 # for battle/diorama-class meshes, `vulkan/ray_tracing.rs`)
 # ----------------------------------------------------------------------------
 
-CULL_TB = 64            # triangles per culled block (finer = tighter culling)
-CULL_RAY_BLOCK = 2048   # rays per chunk (wider = fewer chunks, looser beams)
+CULL_TB = 128           # triangles per culled block = the lane width: the
+                        # streamed coefficient tables store 128 tris per row
+                        # so every manual DMA slice is (8,128)-tile aligned
+                        # (current libtpu's Mosaic rejects unaligned
+                        # memref_slice shapes)
+CULL_ROWS = 24          # 12 a_o + 9 a_d coefficient rows, padded to 8n
+CULL_RAY_BLOCK = 512    # rays per chunk: (rb, 128) f32 intermediates live
+                        # on the kernel's VMEM stack — 2048 blew the 16 MiB
+                        # scoped limit (18.8M), 1024 still OOMed at scene
+                        # scale (17.3M); finer chunks cull tighter anyway
+CULL_PREFETCH = 8       # block-DMA pipeline depth: at depth 2 a visit cost
+                        # 9.6 us against ~1.5 us of VPU math (measured,
+                        # tools/culled_cost_model.py) — the 12 KB coefficient
+                        # DMAs must be many-deep to hide issue+HBM latency
 
 
 def _chunk_beams(org, d, tmax, nrb, rb):
@@ -189,77 +201,100 @@ def _active_blocks(woop, org, d, tmax, nrb, rb):
     sphere_hit = (dist - rr <= tmax_c[:, None])
     hit = ((rbnd[None, :] >= 0.0)
            & jnp.where(coherent[:, None], cone_hit, sphere_hit))
-    ncl = hit.shape[1]
+    # conservative lower bound of any chunk ray's t into the block: lets
+    # the kernel stop once every live ray's best hit is closer (classic
+    # front-to-back traversal). Miss rays keep t_best = INF and disable it.
+    dlb = jnp.maximum(dist - rr, 0.0)
+    return sort_blocks_by_distance(hit, dlb)
+
+
+def sort_blocks_by_distance(hit, dlb):
+    """(hit (n, C) bool, dlb (n, C) f32) -> (blist, dist, count): active
+    blocks first, ordered front-to-back by their conservative t lower
+    bound; inactive tail carries +INF distance."""
+    dkey = jnp.where(hit, dlb, jnp.float32(INF))
     iota = jax.lax.broadcasted_iota(jnp.int32, hit.shape, 1)
-    keys = jnp.where(hit, iota, iota + 2 * ncl)
-    blist = jnp.sort(keys, axis=1) % (2 * ncl)              # active first
+    dist_sorted, blist = jax.lax.sort((dkey, iota), dimension=1,
+                                      num_keys=1)
     count = hit.sum(axis=1).astype(jnp.int32)
-    return blist.astype(jnp.int32), count
+    return blist.astype(jnp.int32), dist_sorted, count
 
 
-def _kernel_culled(count_ref, o_ref, d_ref, tmax_ref, blist_hbm,
-                   ao_hbm, ad_hbm, t_ref, tri_ref, u_ref, v_ref,
-                   blbuf, aobuf, adbuf, blsem, sem, *, t_min: float,
-                   any_hit: bool):
-    rb = o_ref.shape[1]
+def _kernel_culled(count_ref, o_ref, d_ref, tmax_ref, blist_hbm, bdist_hbm,
+                   coef_hbm, t_ref, tri_ref, u_ref, v_ref,
+                   blbuf, bdbuf, cbuf, blsem, bdsem, sem, *, t_min: float,
+                   any_hit: bool, early_stop: bool):
+    """Ray-sublane x tri-lane orientation: each visited block's 21
+    coefficient rows arrive as ONE (CULL_ROWS, 128) DMA — minor dim = the
+    128-tri lane width, so every manual memref_slice is (8,128)-tile
+    aligned (current libtpu Mosaic enforces this). Intermediates are
+    (rb, 128) outer products; the closest-hit select reduces across lanes."""
+    rb = o_ref.shape[0]
     tb = CULL_TB
     i = pl.program_id(0)
     cnt = count_ref[i]
 
-    # fetch this chunk's active-block row (flat in HBM; 1-D slices avoid
-    # Pallas' 2-D sublane alignment constraints)
+    # fetch this chunk's active-block row (flat in HBM; padded so every
+    # slice start/length is a multiple of the (1024,) i32 tile)
     ntp = blbuf.shape[0]
-    row = pl.multiple_of(i * ntp, 128)
+    row = pl.multiple_of(i * ntp, 1024)
     bl_dma = pltpu.make_async_copy(
         blist_hbm.at[pl.ds(row, ntp)], blbuf, blsem)
     bl_dma.start()
+    bd_dma = pltpu.make_async_copy(
+        bdist_hbm.at[pl.ds(row, ntp)], bdbuf, bdsem)
+    bd_dma.start()
     bl_dma.wait()
+    bd_dma.wait()
 
     def start_dma(k_idx, slot):
         blk = blbuf[k_idx]
-        s = pl.multiple_of(blk * (3 * tb), 8)
-        pltpu.make_async_copy(ao_hbm.at[pl.ds(s, 3 * tb), :],
-                              aobuf.at[slot], sem.at[slot, 0]).start()
-        pltpu.make_async_copy(ad_hbm.at[pl.ds(s, 3 * tb), :],
-                              adbuf.at[slot], sem.at[slot, 1]).start()
+        s = pl.multiple_of(blk * CULL_ROWS, 8)
+        pltpu.make_async_copy(coef_hbm.at[pl.ds(s, CULL_ROWS), :],
+                              cbuf.at[slot], sem.at[slot]).start()
 
-    @pl.when(cnt > 0)
-    def _():
-        start_dma(0, 0)
+    def wait_dma(k_idx, slot):
+        blk = blbuf[k_idx]
+        s = pl.multiple_of(blk * CULL_ROWS, 8)
+        pltpu.make_async_copy(coef_hbm.at[pl.ds(s, CULL_ROWS), :],
+                              cbuf.at[slot], sem.at[slot]).wait()
 
-    ox, oy, oz, ow = (o_ref[0:1, :], o_ref[1:2, :], o_ref[2:3, :],
-                      o_ref[3:4, :])
-    dx, dy, dz = d_ref[0:1, :], d_ref[1:2, :], d_ref[2:3, :]
-    tmax = tmax_ref[0:1, :]
+    # prime the pipeline D-1 deep (blocks 0..D-2); every visit k then tops
+    # it up with block k+D-1 into the slot freed at visit k-1, keeping D
+    # block fetches in flight ahead of the math
+    D = CULL_PREFETCH
+    jax.lax.fori_loop(
+        0, jnp.minimum(jnp.int32(D - 1), cnt),
+        lambda j, c: (start_dma(j, j), c)[1], 0)
+
+    o = o_ref[:]                          # (rb, 4)
+    d = d_ref[:]                          # (rb, 3)
+    ox, oy, oz, ow = (o[:, 0:1], o[:, 1:2], o[:, 2:3], o[:, 3:4])
+    dx, dy, dz = d[:, 0:1], d[:, 1:2], d[:, 2:3]
+    tmax = tmax_ref[:]                    # (rb, 1)
 
     def visit(k, carry):
         t_best, tri_best, u_best, v_best = carry
-        slot = jax.lax.rem(k, 2)
+        slot = jax.lax.rem(k, D)
 
-        @pl.when(k + 1 < cnt)
+        @pl.when(k + D - 1 < cnt)
         def _():
-            start_dma(k + 1, jax.lax.rem(k + 1, 2))
+            start_dma(k + D - 1, jax.lax.rem(k + D - 1, D))
 
+        wait_dma(k, slot)
         blk = blbuf[k]
-        s = pl.multiple_of(blk * (3 * tb), 8)
-        pltpu.make_async_copy(ao_hbm.at[pl.ds(s, 3 * tb), :],
-                              aobuf.at[slot], sem.at[slot, 0]).wait()
-        pltpu.make_async_copy(ad_hbm.at[pl.ds(s, 3 * tb), :],
-                              adbuf.at[slot], sem.at[slot, 1]).wait()
-        ao = aobuf[slot]                        # (3tb, 4)
-        ad = adbuf[slot]                        # (3tb, 3)
-        aou, aov, aow = ao[0:tb], ao[tb:2 * tb], ao[2 * tb:]
-        adu, adv, adw = ad[0:tb], ad[tb:2 * tb], ad[2 * tb:]
+        c = cbuf[slot]                    # (CULL_ROWS, 128)
 
-        def affine(m):
-            return (m[:, 0:1] * ox + m[:, 1:2] * oy + m[:, 2:3] * oz
-                    + m[:, 3:4] * ow)
+        def affine(r0):                   # rows r0..r0+3 = one a_o row
+            return (c[r0:r0 + 1] * ox + c[r0 + 1:r0 + 2] * oy
+                    + c[r0 + 2:r0 + 3] * oz + c[r0 + 3:r0 + 4] * ow)
 
-        def linear(m):
-            return m[:, 0:1] * dx + m[:, 1:2] * dy + m[:, 2:3] * dz
+        def linear(r0):                   # rows r0..r0+2 = one a_d row
+            return (c[r0:r0 + 1] * dx + c[r0 + 1:r0 + 2] * dy
+                    + c[r0 + 2:r0 + 3] * dz)
 
-        qu, qv, qw = affine(aou), affine(aov), affine(aow)
-        ru, rv, rw = linear(adu), linear(adv), linear(adw)
+        qu, qv, qw = affine(0), affine(4), affine(8)      # (rb, tb)
+        ru, rv, rw = linear(12), linear(15), linear(18)
         rw_ok = jnp.abs(rw) >= 1e-12
         rw_safe = jnp.where(rw_ok, rw, 1e-12)
         t = -qw / rw_safe
@@ -269,40 +304,56 @@ def _kernel_culled(count_ref, o_ref, d_ref, tmax_ref, blist_hbm,
         ok = (rw_ok & (u >= -beps) & (v >= -beps) & (u + v <= 1.0 + beps)
               & (t > t_min) & (t < t_best) & (t < tmax))
         t_m = jnp.where(ok, t, jnp.float32(INF))
-        bt = jnp.min(t_m, axis=0, keepdims=True)
-        rows = jax.lax.broadcasted_iota(jnp.int32, (tb, rb), 0
-                                        ).astype(jnp.float32)
+        bt = jnp.min(t_m, axis=1, keepdims=True)          # (rb, 1)
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (rb, tb), 1
+                                         ).astype(jnp.float32)
         sel = t_m <= bt
-        ridx = jnp.min(jnp.where(sel, rows, jnp.float32(tb)), axis=0,
+        lidx = jnp.min(jnp.where(sel, lanes, jnp.float32(tb)), axis=1,
                        keepdims=True)
-        first = rows == ridx
-        bu = jnp.sum(jnp.where(first, u, 0.0), axis=0, keepdims=True)
-        bv = jnp.sum(jnp.where(first, v, 0.0), axis=0, keepdims=True)
+        first = lanes == lidx
+        bu = jnp.sum(jnp.where(first, u, 0.0), axis=1, keepdims=True)
+        bv = jnp.sum(jnp.where(first, v, 0.0), axis=1, keepdims=True)
         closer = bt < t_best
         base = (blk * tb).astype(jnp.float32)
         return (jnp.where(closer, bt, t_best),
-                jnp.where(closer, base + ridx, tri_best),
+                jnp.where(closer, base + lidx, tri_best),
                 jnp.where(closer, bu, u_best),
                 jnp.where(closer, bv, v_best))
 
-    init = (jnp.full((1, rb), jnp.float32(INF), jnp.float32),
-            jnp.full((1, rb), -1.0, jnp.float32),
-            jnp.zeros((1, rb), jnp.float32),
-            jnp.zeros((1, rb), jnp.float32))
+    init = (jnp.full((rb, 1), jnp.float32(INF), jnp.float32),
+            jnp.full((rb, 1), -1.0, jnp.float32),
+            jnp.zeros((rb, 1), jnp.float32),
+            jnp.zeros((rb, 1), jnp.float32))
 
     def w_cond(st):
-        k, (_t, tri_b, _u, _v) = st
+        k, (t_b, tri_b, _u, _v) = st
         go = k < cnt
         if any_hit:
             go = go & jnp.any((tri_b < 0.0) & (tmax > t_min))
+        elif early_stop:
+            # front-to-back early stop: blocks arrive sorted by their
+            # conservative t lower bound; once every ray's best hit is
+            # closer than anything remaining, stop. Miss rays hold
+            # t_best = INF (clamped by tmax) and keep the loop alive.
+            worst = jnp.max(jnp.minimum(t_b, tmax))
+            go = go & (bdbuf[jnp.minimum(k, ntp - 1)] <= worst)
         return go
 
     def w_body(st):
         k, carry = st
         return k + 1, visit(k, carry)
 
-    _, (t_best, tri_best, u_best, v_best) = jax.lax.while_loop(
+    k_end, (t_best, tri_best, u_best, v_best) = jax.lax.while_loop(
         w_cond, w_body, (jnp.int32(0), init))
+
+    # Early exits (front-to-back stop / any-hit park / immediately-false
+    # cond) leave up to D-1 prefetched block DMAs in flight; they MUST be
+    # drained or the next grid step reuses their buffers+semaphores and the
+    # device wedges.
+    jax.lax.fori_loop(
+        k_end, jnp.minimum(cnt, k_end + D - 1),
+        lambda j, c: (wait_dma(j, jax.lax.rem(j, D)), c)[1], 0)
+
     t_ref[:, :] = t_best
     tri_ref[:, :] = tri_best
     u_ref[:, :] = u_best
@@ -311,7 +362,7 @@ def _kernel_culled(count_ref, o_ref, d_ref, tmax_ref, blist_hbm,
 
 def intersect_culled_pallas(woop, org, d, t_min=1e-4, t_max=None,
                             any_hit: bool = False, interpret: bool = False,
-                            block_lists=None):
+                            block_lists=None, early_stop: bool = True):
     """Cluster-culled streaming intersector for large scenes. The XLA side
     computes a conservative per-chunk active-block list (beam vs cluster
     spheres at CULL_TB granularity); the kernel walks only those blocks,
@@ -335,6 +386,23 @@ def intersect_culled_pallas(woop, org, d, t_min=1e-4, t_max=None,
         t_max = jnp.full((rtot,), INF, jnp.float32)
     else:
         t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (rtot,))
+    # Exact search-interval tightening: nothing exists beyond the scene
+    # AABB, so each ray's tmax ends at its box-exit t (rays missing the box
+    # die outright). This is what arms the front-to-back early stop: sky
+    # rays would otherwise hold tmax=INF and force every chunk they share
+    # to walk its whole block list. Padded cluster boxes are inverted
+    # (+INF, -INF) and drop out of the min/max.
+    smin = jnp.min(woop["cmin64"], axis=0)
+    smax = jnp.max(woop["cmax64"], axis=0)
+    deps = 1e-12
+    dinv = 1.0 / jnp.where(jnp.abs(d) < deps,
+                           jnp.where(d < 0, -deps, deps), d)
+    ta = (smin[None] - org) * dinv
+    tb_ = (smax[None] - org) * dinv
+    tfar = jnp.maximum(ta, tb_).min(-1)
+    tnear = jnp.maximum(jnp.minimum(ta, tb_).max(-1), 0.0)
+    t_max = jnp.where(tfar >= tnear,
+                      jnp.minimum(t_max, tfar * 1.001 + 1e-3), 0.0)
     rb = CULL_RAY_BLOCK
     rpad = (-rtot) % rb
     if rpad:
@@ -345,57 +413,65 @@ def intersect_culled_pallas(woop, org, d, t_min=1e-4, t_max=None,
     nrb = r // rb
 
     if block_lists is not None:
-        blist, count = block_lists
+        blist, bdist, count = block_lists
         assert blist.shape[0] == nrb and count.shape[0] == nrb, (
             blist.shape, count.shape, nrb)
     else:
-        blist, count = _active_blocks(woop, org, d, t_max, nrb, rb)
-    nt_pad = -(-nt // 128) * 128
+        blist, bdist, count = _active_blocks(woop, org, d, t_max, nrb, rb)
+    nt_pad = -(-nt // 1024) * 1024      # (1024,) i32 tile alignment
     if nt_pad != nt:
         blist = jnp.pad(blist, ((0, 0), (0, nt_pad - nt)))
+        bdist = jnp.pad(bdist, ((0, 0), (0, nt_pad - nt)),
+                        constant_values=INF)
     blist = blist.reshape(-1)                       # flat (nrb * nt_pad,)
+    bdist = bdist.reshape(-1)
 
-    o_t = jnp.concatenate([org, jnp.ones((r, 1))], axis=-1).T     # (4, R)
-    d_t = d.T
-    ao = woop["a_o"].reshape(3, ttot, 4)
-    ad = woop["a_d"].reshape(3, ttot, 3)
-    ao_blk = (ao.reshape(3, nt, tb, 4).transpose(1, 0, 2, 3)
-              .reshape(nt * 3 * tb, 4))
-    ad_blk = (ad.reshape(3, nt, tb, 3).transpose(1, 0, 2, 3)
-              .reshape(nt * 3 * tb, 3))
-    tmax2 = t_max.reshape(1, r)
+    o_a = jnp.concatenate([org, jnp.ones((r, 1))], axis=-1)       # (R, 4)
+    # coefficient table, tri-lane-major: per block CULL_ROWS x 128 rows
+    # [a_o u(4), v(4), w(4) | a_d u(3), v(3), w(3) | pad(3)] so each
+    # block's stream is ONE tile-aligned (24, 128) DMA
+    ao = woop["a_o"].reshape(3, ttot, 4).transpose(0, 2, 1)       # (3,4,T)
+    ad = woop["a_d"].reshape(3, ttot, 3).transpose(0, 2, 1)       # (3,3,T)
+    coef = jnp.concatenate([ao.reshape(12, nt, tb),
+                            ad.reshape(9, nt, tb),
+                            jnp.zeros((CULL_ROWS - 21, nt, tb),
+                                      jnp.float32)], axis=0)
+    coef = coef.transpose(1, 0, 2).reshape(nt * CULL_ROWS, tb)
+    tmax2 = t_max.reshape(r, 1)
 
-    kernel = _ft.partial(_kernel_culled, t_min=float(t_min), any_hit=any_hit)
+    kernel = _ft.partial(_kernel_culled, t_min=float(t_min), any_hit=any_hit,
+                         early_stop=early_stop)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nrb,),
         in_specs=[
-            pl.BlockSpec((4, rb), lambda i, *_: (0, i),
+            pl.BlockSpec((rb, 4), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, rb), lambda i, *_: (0, i),
+            pl.BlockSpec((rb, 3), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rb), lambda i, *_: (0, i),
+            pl.BlockSpec((rb, 1), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),      # blist (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),      # ao (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),      # ad (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),      # bdist (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),      # coef (HBM)
         ],
-        out_specs=[pl.BlockSpec((1, rb), lambda i, *_: (0, i),
+        out_specs=[pl.BlockSpec((rb, 1), lambda i, *_: (i, 0),
                                 memory_space=pltpu.VMEM)] * 4,
         scratch_shapes=[
             pltpu.SMEM((nt_pad,), jnp.int32),
-            pltpu.VMEM((2, 3 * tb, 4), jnp.float32),
-            pltpu.VMEM((2, 3 * tb, 3), jnp.float32),
+            pltpu.SMEM((nt_pad,), jnp.float32),
+            pltpu.VMEM((CULL_PREFETCH, CULL_ROWS, tb), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((CULL_PREFETCH,)),
         ],
     )
     t, tri, u, v = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((1, r), jnp.float32)] * 4,
+        out_shape=[jax.ShapeDtypeStruct((r, 1), jnp.float32)] * 4,
         interpret=interpret,
-    )(count, o_t, d_t, tmax2, blist, ao_blk, ad_blk)
+    )(count, o_a, d, tmax2, blist, bdist, coef)
 
     t = t.reshape(-1)[:rtot]
     tri_f = tri.reshape(-1)[:rtot]

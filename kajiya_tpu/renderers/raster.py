@@ -101,15 +101,20 @@ def _overlap(chunk_rects, block_rects):
     return (cx0 <= bx1) & (cx1 >= bx0) & (cy0 <= by1) & (cy1 >= by0)
 
 
-def _mask_to_lists(hit):
-    """(n, C) bool -> (blist (n, Cpad) i32 active-first, count (n,)) — the
-    sort-compaction of woop_pallas._active_blocks."""
-    ncl = hit.shape[1]
-    iota = jax.lax.broadcasted_iota(jnp.int32, hit.shape, 1)
-    keys = jnp.where(hit, iota, iota + 2 * ncl)
-    blist = jnp.sort(keys, axis=1) % (2 * ncl)
-    count = hit.sum(axis=1).astype(jnp.int32)
-    return blist.astype(jnp.int32), count
+def _mask_to_lists(hit, bmin, bmax, eye):
+    """(n, C) bool -> front-to-back (blist, bdist, count): primary rays all
+    start at the eye, so the conservative t lower bound per block is
+    |center - eye| - radius (the kernel's early-z stop,
+    woop_pallas.sort_blocks_by_distance)."""
+    from ..ops.woop_pallas import sort_blocks_by_distance
+
+    c = (bmin + bmax) * 0.5
+    r = jnp.sqrt(jnp.maximum(((bmax - bmin) * 0.5) ** 2, 0.0).sum(-1))
+    dlb = jnp.maximum(
+        jnp.sqrt(jnp.maximum(((c - eye) ** 2).sum(-1), 0.0)) - r, 0.0)
+    dlb = jnp.where(jnp.isfinite(dlb), dlb, jnp.float32(INF))
+    return sort_blocks_by_distance(hit, jnp.broadcast_to(
+        dlb[None, :], hit.shape))
 
 
 def raster_hit(ts, view: ViewConstants, w: int, h: int,
@@ -140,7 +145,9 @@ def raster_hit(ts, view: ViewConstants, w: int, h: int,
         mask = _overlap(_chunk_rects(w, h, rows), rects)
         # (nrb, C) unpadded lists; intersect_culled_pallas pads + flattens
         t, tri, u, v = intersect_culled_pallas(
-            woop, orgf, df, block_lists=_mask_to_lists(mask))
+            woop, orgf, df,
+            block_lists=_mask_to_lists(mask, woop["cmin64"], woop["cmax64"],
+                                       view.eye_position))
     else:
         from ..ops.woop import CULLED_RAY_BLOCK, intersect_brute
 
