@@ -32,12 +32,32 @@ N_TIMED = 4
 
 # Wall-clock guard: optional sections (diorama, RMSE) are skipped when the
 # run is close to the driver's timeout, so the headline datum always lands.
+# The guards gate section STARTS; a section that overruns anyway (an XLA
+# compile cannot be preempted) is covered by the signal handler below: the
+# headline JSON is printed the moment the driver's timeout signal arrives,
+# so the datum is never lost to an optional extra (the round-3 failure).
 _T_START = time.time()
-_DEADLINE_S = float(os.environ.get("KAJIYA_BENCH_DEADLINE", 1500))
+_DEADLINE_S = float(os.environ.get("KAJIYA_BENCH_DEADLINE", 1200))
+_RESULT = {}          # mutated in place as sections land
 
 
 def _time_left():
     return _DEADLINE_S - (time.time() - _T_START)
+
+
+def _emit_and_exit(signum, _frame):
+    import signal
+
+    if _RESULT.get("metric"):
+        if not _RESULT.get("extra"):
+            _RESULT.pop("extra", None)
+        print(json.dumps(_RESULT), flush=True)
+        os._exit(0)
+    print(json.dumps({"metric": "bench_failed", "value": -1.0, "unit": "ms",
+                      "vs_baseline": -1.0,
+                      "note": f"signal {signum} before headline"}),
+          flush=True)
+    os._exit(1)
 
 
 def _device_ms_from_trace(trace_dir):
@@ -91,6 +111,20 @@ def _measure(step, state):
 
 
 def main():
+    import signal
+    import threading
+
+    signal.signal(signal.SIGTERM, _emit_and_exit)   # `timeout` default sig
+    # Python defers signal handlers while the main thread sits inside a C
+    # call (an XLA compile) — exactly when an overrun happens. A daemon
+    # watchdog thread prints+exits regardless of what the main thread is
+    # stuck in, so the headline datum always reaches the driver.
+    def _watchdog():
+        time.sleep(max(_DEADLINE_S - (time.time() - _T_START), 1.0))
+        _emit_and_exit("watchdog", None)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     from kajiya_tpu.core import jitcache
 
     jitcache.enable()   # minutes-long frame compiles persist across runs
@@ -144,14 +178,20 @@ def main():
     if result is None:
         result = {"metric": "bench_failed", "value": -1.0, "unit": "ms",
                   "vs_baseline": -1.0}
+    _RESULT.update(result)
 
     # second datum: production-scene frame (76k-tri pica diorama, textures +
     # normal maps, full GI). Rides the same JSON line as "extra" so the
     # driver contract (one line) holds. Tries the Pallas streaming tracer
     # first; on a Mosaic-rejecting libtpu, retries via the XLA culled path
     # (KAJIYA_NO_PALLAS_TRACE honored by rt/trace.py).
+    # Start-guards assume worst-case section costs (cold full-frame compile
+    # ~3 min, diorama scene+BVH build ~2 min) — a section that would
+    # plausibly overrun the deadline is skipped, and the signal handler
+    # flushes whatever already landed if one overruns anyway.
     extra = []
-    if _time_left() > 300:
+    _RESULT["extra"] = extra
+    if _time_left() > 600:
         dio = _bench_diorama()
         if dio is not None:
             extra.append(dio)
@@ -161,7 +201,7 @@ def main():
     # The bundled 336_lrm scene is missing its .bin in this mount; the
     # cornell stands in. Raster primary + dummy shadow/GI, like the
     # reference's ray_tracing_enabled()=false path.
-    if _time_left() > 240:
+    if _time_left() > 360:
         try:
             cfg = RenderConfig(width=1280, height=720, primary="raster",
                                sun_soft_shadows=False, use_rtdgi=False,
@@ -187,7 +227,7 @@ def main():
     # third datum: RMSE of the converged hybrid vs the PT oracle (the
     # BASELINE.json metric is the triplet ms / Mrays/s / RMSE; the oracle
     # comparison mirrors tests/test_oracle.py at a fixed tiny config)
-    if _time_left() > 240:
+    if _time_left() > 300:
         rmse = _bench_rmse(ts, levels)
         if rmse is not None:
             extra.append(rmse)
@@ -195,6 +235,8 @@ def main():
         print("# skipping rmse bench (deadline)", file=sys.stderr)
     if extra:
         result["extra"] = extra if len(extra) > 1 else extra[0]
+    else:
+        result.pop("extra", None)
     print(json.dumps(result))
 
 

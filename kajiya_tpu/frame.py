@@ -323,7 +323,7 @@ def render_frame(ts, state, view: ViewConstants, cfg: RenderConfig,
                 org = jnp.concatenate(orgs)
                 d = jnp.concatenate(dirs)
                 hit = scene_trace_closest(ts, org, d, t_min=1e-4,
-                                          max_steps=mts)
+                                          max_steps=mts, sort=True)
                 fresh = hit_radiance(ts, hit, d, sky_env, diffuse_env,
                                      **shade_kw)
                 na = orgs[0].shape[0] if use_gi_restir else 0
@@ -368,7 +368,8 @@ def render_frame(ts, state, view: ViewConstants, cfg: RenderConfig,
             org = jnp.concatenate(orgs)
             d = jnp.concatenate(dirs)
             rng = jnp.concatenate(rngs)
-            hit = scene_trace_closest(ts, org, d, t_min=1e-4, max_steps=mts)
+            hit = scene_trace_closest(ts, org, d, t_min=1e-4, max_steps=mts,
+                                      sort=True)
             rad, aux = hit_radiance(ts, hit, d, sky_env, diffuse_env,
                                     rng=rng, return_aux=True, **shade_kw)
             nc = orgs[0].shape[0] if cfg.use_rtdgi else 0

@@ -66,8 +66,12 @@ def hit_radiance(ts, hit, ray_dir, sky_env, diffuse_env,
     # --- sun direct at the hit (one shadow ray; the reference's 1 shadow/px)
     sun_dir = jnp.broadcast_to(ts.gpu.sun_direction, pos.shape)
     cos_s = jnp.maximum(dot3(n, sun_dir), 0.0)
+    # hit points scatter across the scene -> a divergent shadow batch;
+    # sort=True re-buckets them by origin cell (shared sun direction) so
+    # the culled tracer's beams stay tight (ops/raysort.py)
     occ = scene_trace_shadow(ts, pos + attrs["geo_normal"] * RAY_EPS * 8,
-                       sun_dir, t_min=RAY_EPS, max_steps=max_trace_steps)
+                       sun_dir, t_min=RAY_EPS, max_steps=max_trace_steps,
+                       sort=True)
     sun_vis = jnp.where(m & ~occ, cos_s, 0.0)
     albedo, _f0 = ggx.derive_lobes(attrs["base_color"], attrs["metallic"])
     direct = albedo / jnp.pi * ts.gpu.sun_radiance * sun_vis[:, None]
@@ -82,7 +86,7 @@ def hit_radiance(ts, hit, ray_dir, sky_env, diffuse_env,
         occ_l = scene_trace_shadow(
             ts, pos + attrs["geo_normal"] * RAY_EPS * 8, ls["wi"],
             t_min=RAY_EPS, t_max=ls["dist"] - RAY_EPS * 10,
-            max_steps=max_trace_steps)
+            max_steps=max_trace_steps, sort=True)
         contrib = (albedo / jnp.pi * ls["emission"]
                    * (jnp.maximum(cos_g, 0.0)
                       / jnp.maximum(ls["pdf_sa"], 1e-9))[:, None])

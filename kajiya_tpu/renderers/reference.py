@@ -79,8 +79,10 @@ def path_trace(
         act = state["active"]
         tp, radiance = state["throughput"], state["radiance"]
 
+        # bounce wavefronts diverge after the first segment; sorted tracing
+        # keeps the culled tracer's chunks beam-shaped (ops/raysort.py)
         hit = scene_trace_closest(ts, org, d, t_min=RAY_EPS,
-                            max_steps=max_trace_steps)
+                            max_steps=max_trace_steps, sort=True)
         m = hit.hit_mask & act
 
         # ------- miss: sky (sky_fn hook ~ the PT shader's FURNACE_TEST consts,
@@ -113,7 +115,7 @@ def path_trace(
             occ = scene_trace_shadow(
                 ts,
                 pos + attrs["geo_normal"] * RAY_EPS * 4, sun_dir,
-                t_min=RAY_EPS, max_steps=max_trace_steps)
+                t_min=RAY_EPS, max_steps=max_trace_steps, sort=True)
             f = ggx.eval_layered(bc, metal, rough, n, wo, sun_dir)
             contrib = tp * f * ts.gpu.sun_radiance * jnp.maximum(cos_s, 0.0)[:, None]
             radiance = radiance + jnp.where(
@@ -128,7 +130,7 @@ def path_trace(
                 ts,
                 pos + attrs["geo_normal"] * RAY_EPS * 4, ls["wi"],
                 t_min=RAY_EPS, t_max=ls["dist"] - RAY_EPS * 10,
-                max_steps=max_trace_steps)
+                max_steps=max_trace_steps, sort=True)
             f = ggx.eval_layered(bc, metal, rough, n, wo, ls["wi"])
             pdf_b = ggx.pdf_layered(bc, metal, rough, n, wo, ls["wi"])
             w_l = power_heuristic(ls["pdf_sa"], pdf_b)

@@ -183,8 +183,28 @@ def _use_pallas(ts) -> bool:
     return jax.default_backend() == "tpu"
 
 
-def scene_trace_closest(ts, org, d, t_min=1e-4, t_max=INF, max_steps=None) -> Hit:
+def _can_sort(ts, sort: bool) -> bool:
+    """Wavefront sorting only pays where the culled tracer runs (scenes
+    with cluster tables); small brute scenes would pay the sort for
+    nothing. Callers mark divergent batches (GI/bounce/validation rays)
+    with sort=True; coherent screen-order batches leave it False."""
+    return (sort and isinstance(ts.woop, dict)
+            and ts.woop.get("cmin64") is not None)
+
+
+def scene_trace_closest(ts, org, d, t_min=1e-4, t_max=INF, max_steps=None,
+                        sort: bool = False) -> Hit:
     """Closest-hit against a TraceScene (~ `GbufferRaytrace::trace`)."""
+    if _can_sort(ts, sort):
+        from ..ops.raysort import sorted_trace
+
+        def fn(o, dd, tm):
+            h = scene_trace_closest(ts, o, dd, t_min=t_min, t_max=tm,
+                                    max_steps=max_steps)
+            return h.t, h.tri, h.u, h.v
+
+        t, tri, u, v = sorted_trace(fn, ts.woop, org, d, t_max=t_max)
+        return Hit(t=t, tri=tri, u=u, v=v)
     if ts.woop is not None:
         if _use_pallas(ts):
             from ..ops.woop_pallas import intersect_scene_pallas
@@ -202,8 +222,18 @@ def scene_trace_closest(ts, org, d, t_min=1e-4, t_max=INF, max_steps=None) -> Hi
     return trace_closest(ts.bvh, ts.tris, org, d, t_min, t_max, max_steps)
 
 
-def scene_trace_shadow(ts, org, d, t_min=1e-4, t_max=INF, max_steps=None):
+def scene_trace_shadow(ts, org, d, t_min=1e-4, t_max=INF, max_steps=None,
+                       sort: bool = False):
     """Occlusion against a TraceScene -> (R,) bool (~ `rt_is_shadowed`)."""
+    if _can_sort(ts, sort):
+        from ..ops.raysort import sorted_trace
+
+        def fn(o, dd, tm):
+            return (scene_trace_shadow(ts, o, dd, t_min=t_min, t_max=tm,
+                                       max_steps=max_steps),)
+
+        (occ,) = sorted_trace(fn, ts.woop, org, d, t_max=t_max)
+        return occ
     if ts.woop is not None:
         if _use_pallas(ts):
             from ..ops.woop_pallas import intersect_scene_pallas

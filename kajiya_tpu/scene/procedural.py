@@ -151,6 +151,88 @@ def single_triangle(emissive=(0, 0, 0), color=(0.8, 0.8, 0.8)) -> Scene:
     return scene
 
 
+def _subdiv_box(s: int):
+    """Unit box [0,1]^3, each face an s x s quad grid -> (verts, normals,
+    indices). 6*s*s*2 triangles; verts duplicated per face (hard normals)."""
+    u = np.linspace(0.0, 1.0, s + 1, dtype=np.float32)
+    gu, gv = np.meshgrid(u, u, indexing="ij")
+    gu, gv = gu.ravel(), gv.ravel()
+    nv = (s + 1) * (s + 1)
+    # face-local quad indices
+    i0 = (np.arange(s)[:, None] * (s + 1) + np.arange(s)[None, :]).ravel()
+    quad = np.stack([i0, i0 + (s + 1), i0 + (s + 1) + 1,
+                     i0, i0 + (s + 1) + 1, i0 + 1], axis=1)
+    tri = quad.reshape(-1, 3)
+    pos, nrm, idx = [], [], []
+    for axis in range(3):
+        a1, a2 = (axis + 1) % 3, (axis + 2) % 3
+        for sign in (0.0, 1.0):
+            v = np.empty((nv, 3), np.float32)
+            v[:, axis] = sign
+            v[:, a1] = gu
+            v[:, a2] = gv
+            n = np.zeros((nv, 3), np.float32)
+            n[:, axis] = 2.0 * sign - 1.0
+            idx.append(tri + len(pos) * nv)
+            pos.append(v)
+            nrm.append(n)
+    return (np.concatenate(pos), np.concatenate(nrm),
+            np.concatenate(idx).astype(np.uint32))
+
+
+def city(n: int = 16, subdiv: int = 8, seed: int = 7,
+         block: float = 3.0) -> Scene:
+    """Battle-scale stand-in: an n x n grid of subdivided-box buildings on a
+    ground slab. ONE building mesh, n*n instances with per-instance
+    scale/position (true instancing); triangle count = n*n * 6*subdiv^2*2
+    (+2 ground). n=16/subdiv=8 ~ 197k tris; n=40 ~ 1.23M tris — the scale
+    of the reference's `battle.ron` (whose mesh .bins are absent from this
+    mount). Dense mutual occlusion, so front-to-back culling behaves like a
+    real interior/city, unlike `random_tri_soup`."""
+    rng = np.random.default_rng(seed)
+    v, nrm, idx = _subdiv_box(subdiv)
+    nverts = len(v)
+    mats = [_mat((0.65, 0.62, 0.58), roughness=0.9),
+            _mat((0.45, 0.5, 0.55), roughness=0.4, metallic=0.6),
+            _mat((0.6, 0.35, 0.3), roughness=0.8)]
+    ntri = len(idx)
+    mesh = PackedMesh(
+        positions=v, normals=nrm,
+        uvs=np.zeros((nverts, 2), np.float32),
+        tangents=np.tile(np.array([1, 0, 0, 1], np.float32), (nverts, 1)),
+        colors=np.ones((nverts, 4), np.float32),
+        indices=idx, material_ids=np.zeros(ntri, np.uint32),
+        materials=[mats[0]])
+    # material variety: three clones of the mesh differing only in material
+    meshes = []
+    scene = Scene(sun_intensity=12.0)
+    for m in mats:
+        mm = PackedMesh(**{**mesh.__dict__, "materials": [m]})
+        meshes.append(scene.add_mesh(mm))
+    ext = n * block * 0.5
+    ground = PackedMesh(
+        positions=np.array([[-ext, 0, -ext], [ext, 0, -ext],
+                            [ext, 0, ext], [-ext, 0, ext]], np.float32),
+        normals=np.tile(np.array([0, 1, 0], np.float32), (4, 1)),
+        uvs=np.zeros((4, 2), np.float32),
+        tangents=np.tile(np.array([1, 0, 0, 1], np.float32), (4, 1)),
+        colors=np.ones((4, 4), np.float32),
+        indices=np.array([[0, 2, 1], [0, 3, 2]], np.uint32),
+        material_ids=np.zeros(2, np.uint32),
+        materials=[_mat((0.35, 0.35, 0.35), roughness=0.95)])
+    scene.add_instance(scene.add_mesh(ground))
+    for gz in range(n):
+        for gx in range(n):
+            w = block * rng.uniform(0.35, 0.75)
+            h = block * rng.uniform(0.6, 4.0)
+            x = (gx + 0.5) * block - ext
+            z = (gz + 0.5) * block - ext
+            scene.add_instance(meshes[int(rng.integers(3))],
+                               position=(x - w / 2, 0.0, z - w / 2),
+                               scale=(w, h, w))
+    return scene
+
+
 def random_tri_soup(n_tris: int, seed: int = 0, extent: float = 10.0, tri_size: float = 0.5) -> Scene:
     """Random triangle soup for BVH stress-tests."""
     rng = np.random.default_rng(seed)

@@ -83,3 +83,20 @@ class TestGltf:
         assert np.allclose(scene.instances[0].scale, [2, 2, 2])
         gpu = build_gpu_scene(scene)
         assert gpu.num_triangles > 10
+
+
+def test_city_scene_instancing():
+    """Battle-scale stand-in generator: true instancing (one building mesh
+    per material, shared vertex tables) and grid-proportional tri counts."""
+    from kajiya_tpu.scene.procedural import city
+
+    scene = city(n=3, subdiv=2)
+    assert len(scene.instances) == 3 * 3 + 1
+    gpu = build_gpu_scene(scene, with_textures=False)
+    # 9 buildings x 6*2*2*2 tris + 2 ground tris
+    assert gpu.num_triangles == 9 * 48 + 2
+    # vertex tables are per-mesh, not per-instance: 3 material clones of
+    # the building (6 faces x 9 verts) + 4 ground verts
+    assert gpu.verts_obj.shape[0] == 3 * 6 * 9 + 4
+    # every building instance references one of the three shared meshes
+    assert int(gpu.tri_inst.max()) == 9
