@@ -4,7 +4,7 @@ comes from a bright disk on a parallel plane at z=2. Spatial reuse between
 receivers then involves real parallax — exactly the configuration where
 direction-reuse without reconnection/jacobian loses energy. Ground truth =
 plain per-pixel MC over the same candidate stream."""
-import sys; sys.path.insert(0, "/root/repo")
+import os as _os, sys; sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import numpy as np
 import jax
 import jax.numpy as jnp

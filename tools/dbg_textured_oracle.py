@@ -1,5 +1,5 @@
 """Render the textured-oracle triple once and save to npz for metric tuning."""
-import sys; sys.path.insert(0, "/root/repo")
+import os as _os, sys; sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import numpy as np
 import jax
 

@@ -1,4 +1,4 @@
-import sys; sys.path.insert(0, "/root/repo")
+import os as _os, sys; sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import jax, jax.numpy as jnp
 import numpy as np
 from kajiya_tpu.core.camera import make_view_constants

@@ -1,5 +1,5 @@
 """Bisect which construct of _kernel_culled fails the remote TPU compile."""
-import sys; sys.path.insert(0, "/root/repo")
+import os as _os, sys; sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import functools
 import jax, jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -1,5 +1,5 @@
 """Large-table (76k rows) hit-attr fetch variants."""
-import sys; sys.path.insert(0, "/root/repo")
+import os as _os, sys; sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import gzip, glob, json, os, tempfile, time, collections
 import jax, jax.numpy as jnp
 import numpy as np

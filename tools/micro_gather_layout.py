@@ -1,7 +1,7 @@
 """Decide the hit-attribute fetch design: padded wide gather vs transposed
 forms vs one-hot matmul. Times come from a profiler trace (device spans),
 not wall clock (tunnel async lies)."""
-import sys; sys.path.insert(0, "/root/repo")
+import os as _os, sys; sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import gzip, glob, json, os, tempfile, time, collections
 import jax, jax.numpy as jnp
 import numpy as np

@@ -1,5 +1,5 @@
 """ircache lookup fetch strategies: serial gather vs bf16 one-hot MXU."""
-import sys; sys.path.insert(0, "/root/repo")
+import os as _os, sys; sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import jax, jax.numpy as jnp
 from devbench import dev_ms
 

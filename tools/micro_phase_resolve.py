@@ -1,5 +1,5 @@
 """Compare restir resolve: current half_to_full_taps form vs phase-major."""
-import sys; sys.path.insert(0, "/root/repo")
+import os as _os, sys; sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 import jax, jax.numpy as jnp
 from kajiya_tpu.core import img as im

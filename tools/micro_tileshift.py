@@ -5,7 +5,7 @@ Candidate mechanisms:
   b) aligned window DMA + dynamic lane roll in VMEM
 Reference result via XLA gather with the same quantized offsets.
 """
-import sys; sys.path.insert(0, "/root/repo")
+import os as _os, sys; sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import functools
 import jax, jax.numpy as jnp
 import numpy as np

@@ -1,5 +1,5 @@
 """Aggregate device trace events by full jit scope path (pass attribution)."""
-import sys; sys.path.insert(0, "/root/repo")
+import os as _os, sys; sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import gzip, json, collections
 path = sys.argv[1]
 topn = int(sys.argv[2]) if len(sys.argv) > 2 else 60

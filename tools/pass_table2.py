@@ -1,5 +1,5 @@
 """Per-pass table + top individual ops (optionally filtered to one pass)."""
-import sys; sys.path.insert(0, "/root/repo")
+import os as _os, sys; sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import gzip, json, collections, re
 path = sys.argv[1]
 only = sys.argv[2] if len(sys.argv) > 2 else None

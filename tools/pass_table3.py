@@ -5,7 +5,7 @@ table for docs/architecture.md).
 Usage (EXCLUSIVE on the TPU — no other python):
     python tools/pass_table3.py [width height] [frames]
 """
-import sys; sys.path.insert(0, "/root/repo")
+import os as _os, sys; sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import collections
 import glob
 import gzip

@@ -1,7 +1,7 @@
 """Device-trace-based microbenchmarks: the only honest timing on this
 tunnel. Runs a set of candidate ops inside one traced block, then reports
 per-op device durations from the xplane trace."""
-import sys; sys.path.insert(0, "/root/repo")
+import os as _os, sys; sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 import jax, jax.numpy as jnp
 import numpy as np
