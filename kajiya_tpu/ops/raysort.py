@@ -25,12 +25,16 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-# origin: 3 bits/axis morton (8x8x8 scene cells); direction: 2 bits/axis.
-# 15-bit keys = 32Ki buckets; a 512-ray chunk of the sorted batch then
-# spans a handful of ADJACENT buckets (morton order keeps them spatially
-# close), which is exactly the locality the beam test needs.
-_OBITS = 3
-_DBITS = 2
+# origin: 5 bits/axis morton (32^3 scene cells); direction: 3 bits/axis.
+# 24-bit keys; a 512-ray chunk of the sorted batch then spans ADJACENT
+# buckets (morton order keeps them spatially close), which is exactly the
+# locality the beam test needs. Finer origin cells shrink each chunk's
+# bounding sphere toward the 128-tri block radius — for same-direction
+# (sun shadow) chunks the visited corridor is a cylinder of radius
+# ro+rbnd, so origin bits translate directly into fewer visits
+# (tools/dbg_cull_stats.py sweeps this).
+_OBITS = 5
+_DBITS = 3
 
 
 def _interleave3(x, y, z, bits):
@@ -43,16 +47,17 @@ def _interleave3(x, y, z, bits):
     return out
 
 
-def ray_sort_key(org, d, smin, smax):
+def ray_sort_key(org, d, smin, smax, obits: int = _OBITS,
+                 dbits: int = _DBITS):
     """(R,) u32 sort key: origin morton cell (major) | direction cell."""
     ext = jnp.maximum(smax - smin, 1e-6)
-    oq = jnp.clip(((org - smin) / ext) * (1 << _OBITS), 0.0,
-                  float((1 << _OBITS) - 1)).astype(jnp.uint32)
-    okey = _interleave3(oq[:, 0], oq[:, 1], oq[:, 2], _OBITS)
-    dq = jnp.clip((d * 0.5 + 0.5) * (1 << _DBITS), 0.0,
-                  float((1 << _DBITS) - 1)).astype(jnp.uint32)
-    dkey = _interleave3(dq[:, 0], dq[:, 1], dq[:, 2], _DBITS)
-    return (okey << (3 * _DBITS)) | dkey
+    oq = jnp.clip(((org - smin) / ext) * (1 << obits), 0.0,
+                  float((1 << obits) - 1)).astype(jnp.uint32)
+    okey = _interleave3(oq[:, 0], oq[:, 1], oq[:, 2], obits)
+    dq = jnp.clip((d * 0.5 + 0.5) * (1 << dbits), 0.0,
+                  float((1 << dbits) - 1)).astype(jnp.uint32)
+    dkey = _interleave3(dq[:, 0], dq[:, 1], dq[:, 2], dbits)
+    return (okey << (3 * dbits)) | dkey
 
 
 def sorted_trace(trace_fn, woop, org, d, t_max=None):

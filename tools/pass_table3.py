@@ -3,7 +3,8 @@ aggregate device time by top-level pass_scope (the `gi-overview.md:452`
 table for docs/architecture.md).
 
 Usage (EXCLUSIVE on the TPU — no other python):
-    python tools/pass_table3.py [width height] [frames]
+    python tools/pass_table3.py [width height] [frames] [scene]
+    scene: cornell (default) | diorama | city
 """
 import os as _os, sys; sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import collections
@@ -20,6 +21,7 @@ import numpy as np
 W = int(sys.argv[1]) if len(sys.argv) > 1 else 1920
 H = int(sys.argv[2]) if len(sys.argv) > 2 else 1080
 N = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+SCENE = sys.argv[4] if len(sys.argv) > 4 else "cornell"
 
 from kajiya_tpu.core import jitcache
 from kajiya_tpu.core.camera import make_view_constants
@@ -28,12 +30,29 @@ jitcache.enable()
 from kajiya_tpu.frame import RenderConfig, init_frame_state, render_frame
 from kajiya_tpu.ops.hoist import jit_hoisted
 from kajiya_tpu.scene.procedural import cornell_box
-from kajiya_tpu.scene.scene import build_gpu_scene
+from kajiya_tpu.scene.scene import Scene, build_gpu_scene
 from kajiya_tpu.world import build_trace_scene
 
-gpu = build_gpu_scene(cornell_box())
+if SCENE == "diorama":
+    from kajiya_tpu.scene.cache import load_mesh_cached
+
+    scene = Scene()
+    scene.add_instance(scene.add_mesh(load_mesh_cached(
+        "/root/reference/assets/meshes/pica_pica_-_mini_diorama_01/"
+        "scene.gltf")), scale=(0.05, 0.05, 0.05))
+    cam = ((0.0, 0.6, 1.4), (0.0, -0.35, -1.0))
+elif SCENE == "city":
+    from kajiya_tpu.scene.procedural import city
+
+    scene = city(n=16, subdiv=8)
+    cam = ((0.0, 14.0, 28.0), (0.0, -0.45, -1.0))
+else:
+    scene = cornell_box()
+    cam = ((0.0, 0.0, 2.4), (0.0, 0.0, -1.0))
+gpu = build_gpu_scene(scene)
 ts, levels = build_trace_scene(gpu)
-view = make_view_constants((0, 0, 2.4), (0, 0, -1), fov_y_deg=55.0,
+print(f"scene={SCENE}: {int(gpu.num_triangles)} tris", flush=True)
+view = make_view_constants(cam[0], cam[1], fov_y_deg=55.0,
                            width=W, height=H)
 cfg = RenderConfig(width=W, height=H)
 state = init_frame_state(cfg)
