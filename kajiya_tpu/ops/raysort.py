@@ -85,5 +85,24 @@ def sorted_trace(trace_fn, woop, org, d, t_max=None):
     outs = trace_fn(ps[:, 0:3], ps[:, 3:6], tm)
 
     inv = jnp.zeros((r,), jnp.int32).at[perm].set(iota)
-    po = jnp.stack([o.astype(jnp.float32) for o in outs], axis=-1)[inv]
-    return tuple(po[:, i].astype(outs[i].dtype) for i in range(len(outs)))
+    # Pack every output as a 32-bit column of ONE wide row. Integer/bool
+    # payloads (tri ids, hit masks) are BITCAST — not value-cast — so they
+    # survive the gather exactly at any magnitude (a value round-trip
+    # through f32 corrupts ints >= 2^24).
+    cols = []
+    for o in outs:
+        if jnp.issubdtype(o.dtype, jnp.floating):
+            cols.append(o.astype(jnp.float32))
+        else:
+            cols.append(jax.lax.bitcast_convert_type(
+                o.astype(jnp.int32), jnp.float32))
+    po = jnp.stack(cols, axis=-1)[inv]
+    res = []
+    for i, o in enumerate(outs):
+        c = po[:, i]
+        if jnp.issubdtype(o.dtype, jnp.floating):
+            res.append(c.astype(o.dtype))
+        else:
+            res.append(jax.lax.bitcast_convert_type(
+                c, jnp.int32).astype(o.dtype))
+    return tuple(res)

@@ -48,6 +48,32 @@ def test_sorted_trace_identity():
     assert tri1.dtype == jnp.int32
 
 
+def test_sorted_trace_large_int_payload_exact():
+    """Integer payloads ride the wide-row gather as BITCAST columns, so
+    tri ids >= 2^24 (where f32 loses integers) must survive exactly —
+    as must bool hit masks."""
+    n = 512
+    org, d = _rays(n, seed=7)
+    woop = {"cmin64": jnp.array([[-5.0, -5, -5]]),
+            "cmax64": jnp.array([[5.0, 5, 5]])}
+    big = jnp.arange(n, dtype=jnp.int32) * 7919 + (1 << 24) + 3
+
+    def fn(o, dd, tm):
+        # recover per-ray identity from the (sorted) origin payload
+        idx = jnp.argmin(
+            jnp.abs(o[:, None, 0] - org[None, :, 0]), axis=1)
+        return big[idx], (idx % 2 == 0), o[:, 0].astype(jnp.bfloat16)
+
+    tri0, m0, h0 = fn(org, d, None)
+    tri1, m1, h1 = sorted_trace(fn, woop, org, d)
+    np.testing.assert_array_equal(np.asarray(tri0), np.asarray(tri1))
+    np.testing.assert_array_equal(np.asarray(m0), np.asarray(m1))
+    np.testing.assert_array_equal(np.asarray(h0, np.float32),
+                                  np.asarray(h1, np.float32))
+    assert tri1.dtype == jnp.int32 and m1.dtype == jnp.bool_
+    assert h1.dtype == jnp.bfloat16
+
+
 def test_scene_trace_sorted_parity():
     """sort=True through the real dispatch returns identical hits."""
     from kajiya_tpu.scene.procedural import random_tri_soup
