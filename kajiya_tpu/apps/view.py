@@ -54,7 +54,7 @@ def main(argv=None):
     p.add_argument("--width", type=int, default=1280)      # opt.rs defaults
     p.add_argument("--height", type=int, default=720)
     p.add_argument("--temporal-upsampling", type=float, default=1.0)
-    p.add_argument("--primary", choices=("trace", "raster"), default="trace",
+    p.add_argument("--primary", choices=("trace", "raster"), default="raster",
                    help="primary visibility: coherent trace or the binned "
                         "software rasterizer (RTX-off path)")
     p.add_argument("--rtx-off", action="store_true",

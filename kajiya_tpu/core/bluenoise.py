@@ -30,7 +30,12 @@ import jax.numpy as jnp
 from . import rng as rng_mod
 
 BN_SIZE = 64
-_N_MASKS = 4
+# One independently-baked mask per ACTIVE stream (shadows 0/1, rtdgi 2/3,
+# rtr 4/5, ssao 6): value-rotated reuse of a base mask preserves its rank
+# structure, so two passes sharing a base mask sample per-pixel correlated
+# sequences — at equal spp that shows up as correlated artifacts across
+# passes. 8 masks cover every current consumer with an independent bake.
+_N_MASKS = 8
 _PHI = 0.6180339887498949  # 1/golden ratio
 _CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))), "cache")
@@ -121,7 +126,14 @@ def blue_noise_plane(h: int, w: int, frame_idx, stream: int = 0):
     masks = _load_masks()
     bn = jnp.asarray(masks[stream % _N_MASKS])   # per-call lift (see _masks)
     if stream >= _N_MASKS:
-        bn = jnp.mod(bn + _PHI * (stream // _N_MASKS), 1.0)
+        # overflow streams: golden-ratio value rotation (keeps the blue
+        # spectrum) PLUS a per-stream toroidal offset — the rotation alone
+        # preserves rank structure, so without the shift two streams on the
+        # same base mask stay per-pixel correlated.
+        k = stream // _N_MASKS
+        bn = jnp.mod(bn + _PHI * k, 1.0)
+        bn = jnp.roll(bn, shift=(int((k * 23) % BN_SIZE),
+                                 int((k * 41) % BN_SIZE)), axis=(0, 1))
     # toroidal shift by the frame's R2 offset (dynamic roll of the tile)
     off = rng_mod.r2_sequence(jnp.asarray(frame_idx, jnp.float32))
     oy = (off[0] * BN_SIZE).astype(jnp.int32)

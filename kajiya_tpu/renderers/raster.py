@@ -56,14 +56,15 @@ def _block_screen_rects(bmin, bmax, view: ViewConstants, w: int, h: int):
     px = (0.5 + 0.5 * ndc[..., 0]) * w
     py = (0.5 - 0.5 * ndc[..., 1]) * h
     big = jnp.float32(1e9)
-    px = jnp.where(in_front, px, big)       # behind corners don't shrink min
-    py = jnp.where(in_front, py, big)
-    x0 = px.min(axis=1)
-    y0 = py.min(axis=1)
-    px = jnp.where(in_front, jnp.where(jnp.isfinite(px), px, big), -big)
-    py = jnp.where(in_front, jnp.where(jnp.isfinite(py), py, -big), -big)
-    x1 = px.max(axis=1)
-    y1 = py.max(axis=1)
+    # A non-finite in-front projection means the corner's screen position is
+    # unknown: treat it conservatively on BOTH passes (grow the rect to
+    # full-screen scale) so the block is kept, never wrongly culled. Behind
+    # corners are inert on both passes (+big for min, -big for max).
+    finite = jnp.isfinite(px) & jnp.isfinite(py)
+    x0 = jnp.where(in_front, jnp.where(finite, px, -big), big).min(axis=1)
+    y0 = jnp.where(in_front, jnp.where(finite, py, -big), big).min(axis=1)
+    x1 = jnp.where(in_front, jnp.where(finite, px, big), -big).max(axis=1)
+    y1 = jnp.where(in_front, jnp.where(finite, py, big), -big).max(axis=1)
     # crossing the eye plane: conservative full screen
     crossing = any_front & ~all_front
     x0 = jnp.where(crossing, 0.0, x0)
