@@ -442,15 +442,28 @@ def render_frame(ts, state, view: ViewConstants, cfg: RenderConfig,
             ts.gpu.sun_radiance, ts.gpu.sun_direction,
             ssao=ao, debug_mode=cfg.debug_mode)
 
+    # --- pre-exposure split (update_pre_exposure, world_renderer.rs:919-948):
+    # pre_mult smoothly chases last frame's metered exposure (0.9/0.1 EMA);
+    # everything temporal downstream of `lit` runs PRE-EXPOSED, history is
+    # rescaled by this frame's pre_mult delta, and post_combine applies only
+    # the remaining exposure / pre_mult.
+    pre_prev = state["pre_mult"]
+    if cfg.use_taa:
+        ev_mult = jnp.exp2(state["smoothed_ev"])
+        pre_mult = pre_prev * 0.9 + ev_mult * 0.1
+    else:
+        pre_mult = jnp.ones_like(pre_prev)
+    pre_delta = pre_mult / jnp.maximum(pre_prev, 1e-20)
+
     # --- taa (temporal super-res)
     taa_keys = ("taa_history", "taa_coverage", "taa_smooth_var",
                 "taa_velocity")
     if cfg.use_taa:
       with pass_scope("taa"):
         aa, taa_state = taa.taa(
-            lit, {k: state[k] for k in taa_keys},
+            lit * pre_mult, {k: state[k] for k in taa_keys},
             reproj, gb["depth"], view.sample_offset_pixels,
-            cfg.out_height, cfg.out_width)
+            cfg.out_height, cfg.out_width, pre_delta=pre_delta)
     else:
         aa = lit
         taa_state = {k: state[k] for k in taa_keys}
@@ -471,17 +484,19 @@ def render_frame(ts, state, view: ViewConstants, cfg: RenderConfig,
             aa = mb.motion_blur(aa, vel_out, depth_for_mb,
                                 frame_fraction=cfg.motion_blur_scale)
 
-    # --- post: exposure + glare + tonemap
+    # --- post: exposure + glare + tonemap. `aa` is pre-exposed, so post
+    # applies only the remainder (post_mult = exposure / pre_mult).
     with pass_scope("post"):
         exposure, exp_state = post.update_exposure(
             {"smoothed_ev": state["smoothed_ev"]}, lit,
             dt=cfg.dt, ev_shift=cfg.ev_shift)
-        final = post.post_combine(aa, exposure)
+        final = post.post_combine(aa, exposure / pre_mult)
 
     new_state = {
         "frame_idx": frame_idx + 1,
         "prev_depth": gb["depth"],
         "prev_lit": lit,
+        "pre_mult": pre_mult,
         **shadow_state, **ssgi_state, **rtdgi_state, **rtr_state,
         **taa_state, **exp_state, **ir_state, **restir_state, **wrc_state,
     }
@@ -524,11 +539,15 @@ def render_frame_reference(ts, state, view: ViewConstants, cfg: RenderConfig,
         with pass_scope("tlas_refit"):
             ts = refresh_trace_scene(ts.gpu, ts.bvh, levels)
 
+    # PT ray cone: the reference shrinks the pixel cone to 0.3x for its
+    # path tracer (`reference_path_trace.rgen.hlsl:128`)
+    pt_spread = 0.3 * 2.0 / (view.view_to_clip[1, 1] * cfg.height)
     frame_radiance = refpt.render_sample(
         ts, view, cfg.width, cfg.height,
         frame_idx=state["refpt_samples"].astype(jnp.int32),
         spp_chunk=spp_per_frame, num_bounces=num_bounces,
-        max_trace_steps=cfg.max_trace_steps, pixel_filter=pixel_filter)
+        max_trace_steps=cfg.max_trace_steps, pixel_filter=pixel_filter,
+        cone_spread=pt_spread)
 
     n = jnp.minimum(state["refpt_samples"], max_spp)
     accum = state["refpt_accum"] + (frame_radiance - state["refpt_accum"]) / (n + 1.0)

@@ -49,18 +49,55 @@ def _interleave3(x, y, z, bits):
 
 def ray_sort_key(org, d, smin, smax, obits: int = _OBITS,
                  dbits: int = _DBITS):
-    """(R,) u32 sort key: origin morton cell (major) | direction cell."""
+    """(R,) u32 sort key, mixed-radix: origin-morton HIGH bits | direction
+    cell | origin-morton LOW bits | direction low bits.
+
+    Why mixed and not origin-major: a chunk boundary falls wherever the top
+    log2(R/chunk) key bits change, so whatever sits in the LOW bits is
+    unconstrained within a chunk. With origin-major keys a 512-ray chunk of
+    a 1M-ray GI wavefront shares ~17 adjacent origin cells but spans ALL
+    directions — its bounding beam is an omnidirectional sphere and the
+    culler visits ~every in-range block (measured 580/596 on the diorama,
+    tools/dbg_cull_stats.py). Placing the direction cell ABOVE the origin's
+    fine bits bounds chunks in position AND direction, which is exactly
+    what the directional-AABB reach test in woop_pallas._active_blocks
+    needs to cull."""
     ext = jnp.maximum(smax - smin, 1e-6)
     oq = jnp.clip(((org - smin) / ext) * (1 << obits), 0.0,
                   float((1 << obits) - 1)).astype(jnp.uint32)
-    okey = _interleave3(oq[:, 0], oq[:, 1], oq[:, 2], obits)
     dq = jnp.clip((d * 0.5 + 0.5) * (1 << dbits), 0.0,
                   float((1 << dbits) - 1)).astype(jnp.uint32)
-    dkey = _interleave3(dq[:, 0], dq[:, 1], dq[:, 2], dbits)
-    return (okey << (3 * dbits)) | dkey
+    o_lo_b = min(2, obits)           # fine origin bits demoted below dir
+    d_lo_b = min(1, dbits)           # finest dir bit below those
+    o_hi = _interleave3(oq[:, 0] >> o_lo_b, oq[:, 1] >> o_lo_b,
+                        oq[:, 2] >> o_lo_b, obits - o_lo_b)
+    d_hi = _interleave3(dq[:, 0] >> d_lo_b, dq[:, 1] >> d_lo_b,
+                        dq[:, 2] >> d_lo_b, dbits - d_lo_b)
+    lo_mask = jnp.uint32((1 << o_lo_b) - 1)
+    o_lo = _interleave3(oq[:, 0] & lo_mask, oq[:, 1] & lo_mask,
+                        oq[:, 2] & lo_mask, o_lo_b)
+    dlo_mask = jnp.uint32((1 << d_lo_b) - 1)
+    d_lo = _interleave3(dq[:, 0] & dlo_mask, dq[:, 1] & dlo_mask,
+                        dq[:, 2] & dlo_mask, d_lo_b)
+    key = o_hi
+    for part, bits in ((d_hi, 3 * (dbits - d_lo_b)), (o_lo, 3 * o_lo_b),
+                       (d_lo, 3 * d_lo_b)):
+        key = (key << bits) | part
+    return key
 
 
-def sorted_trace(trace_fn, woop, org, d, t_max=None):
+# Sorted-wavefront defaults, chosen by the diorama sweep
+# (tools/dbg_cull_stats2.py): coarse mixed key bits bound every 512-ray
+# bucket in BOTH position and direction at realistic wavefront sizes, and
+# fine 128-ray chunks cull ~1.6x tighter than 512 (GI mean visits 117 vs
+# 183; shadow 27 vs 44) for ~33 us/Mray of extra per-chunk overhead.
+SORT_OBITS = 3
+SORT_DBITS = 2
+SORT_RAY_BLOCK = 128
+
+
+def sorted_trace(trace_fn, woop, org, d, t_max=None, obits: int = SORT_OBITS,
+                 dbits: int = SORT_DBITS):
     """Run `trace_fn(org, d, t_max) -> tuple of (R,) arrays` on a
     key-sorted permutation of the rays and scatter the results back.
 
@@ -70,7 +107,7 @@ def sorted_trace(trace_fn, woop, org, d, t_max=None):
     r = org.shape[0]
     smin = jnp.min(woop["cmin64"], axis=0)
     smax = jnp.max(woop["cmax64"], axis=0)
-    key = ray_sort_key(org, d, smin, smax)
+    key = ray_sort_key(org, d, smin, smax, obits, dbits)
     iota = jax.lax.iota(jnp.int32, r)
     _, perm = jax.lax.sort((key, iota), num_keys=1)
 

@@ -112,13 +112,15 @@ def _kernel(o_ref, d_ref, ao_ref, ad_ref, tmax_ref, t_ref, tri_ref, u_ref,
 
 
 def intersect_scene_pallas(woop, org, d, t_min=1e-4, t_max=None,
-                           any_hit: bool = False):
+                           any_hit: bool = False, rb: int | None = None):
     """Scene-level entry used by rt.trace on TPU. Small scenes run the
     resident-table kernel; larger scenes run the cluster-culled streaming
-    kernel (per-chunk active-block lists + double-buffered block DMA)."""
+    kernel (per-chunk active-block lists + double-buffered block DMA).
+    `rb` overrides the culled kernel's rays-per-chunk (sorted divergent
+    wavefronts cull much tighter with fine chunks; see ops/raysort.py)."""
     if woop.get("cmin") is not None:
         return intersect_culled_pallas(woop, org, d, t_min=t_min,
-                                       t_max=t_max, any_hit=any_hit)
+                                       t_max=t_max, any_hit=any_hit, rb=rb)
     return intersect_brute_pallas(woop, org, d, t_min=t_min, t_max=t_max,
                                   any_hit=any_hit)
 
@@ -169,7 +171,15 @@ def _chunk_beams(org, d, tmax, nrb, rb):
     coherent = (mincos >= 0.05) & (alen[:, 0] >= 1e-6) & any_live
     cosh = jnp.clip(mincos, 0.05, 1.0)
     tmax_c = tmax.reshape(nrb, rb).max(axis=1)
-    return oc, ro, axis, cosh, tmax_c, coherent
+    # live-masked origin / direction AABBs for the reach-box test: even a
+    # "divergent" chunk (fails the cone) is direction-BOUNDED under the
+    # mixed-radix sort key, and the box exploits exactly that.
+    big = jnp.float32(3e38)
+    omin = jnp.min(jnp.where(live[..., None], o, big), axis=1)
+    omax = jnp.max(jnp.where(live[..., None], o, -big), axis=1)
+    dmin = jnp.min(jnp.where(live[..., None], dd, 1.0), axis=1)
+    dmax = jnp.max(jnp.where(live[..., None], dd, -1.0), axis=1)
+    return oc, ro, axis, cosh, tmax_c, coherent, (omin, omax, dmin, dmax)
 
 
 def _active_blocks(woop, org, d, tmax, nrb, rb):
@@ -182,8 +192,8 @@ def _active_blocks(woop, org, d, tmax, nrb, rb):
     c = (cmin + cmax) * 0.5
     rbnd = jnp.sqrt(jnp.maximum(((cmax - cmin) * 0.5) ** 2, 0.0).sum(-1))
     rbnd = jnp.where(jnp.isfinite(rbnd), rbnd, -1.0)        # empty block
-    oc, ro, axis, cosh, tmax_c, coherent = _chunk_beams(org, d, tmax, nrb,
-                                                        rb)
+    (oc, ro, axis, cosh, tmax_c, coherent,
+     (omin, omax, dmin, dmax)) = _chunk_beams(org, d, tmax, nrb, rb)
 
     v = c[None, :, :] - oc[:, None, :]                      # (nrb, C, 3)
     proj = (v * axis[:, None, :]).sum(-1)
@@ -199,7 +209,17 @@ def _active_blocks(woop, org, d, tmax, nrb, rb):
     # divergent chunks: only an origin-sphere distance test (any direction
     # possible, so every block within tmax of the origin sphere is live)
     sphere_hit = (dist - rr <= tmax_c[:, None])
-    hit = ((rbnd[None, :] >= 0.0)
+    # directional reach box, applied to EVERY chunk: the chunk's rays can
+    # only reach origin_aabb (+) tmax * dir_aabb (Minkowski), so a block
+    # whose (sphere-inflated) bounds miss that box is dead regardless of
+    # the cone/sphere verdict. Strictly conservative: per-axis the segment
+    # o + s*d stays within [omin + tmax*min(dmin,0), omax + tmax*max(dmax,0)].
+    reach_min = omin + tmax_c[:, None] * jnp.minimum(dmin, 0.0)  # (nrb, 3)
+    reach_max = omax + tmax_c[:, None] * jnp.maximum(dmax, 0.0)
+    box_hit = jnp.all(
+        (cmax[None] >= reach_min[:, None, :])
+        & (cmin[None] <= reach_max[:, None, :]), axis=-1)
+    hit = ((rbnd[None, :] >= 0.0) & box_hit
            & jnp.where(coherent[:, None], cone_hit, sphere_hit))
     # conservative lower bound of any chunk ray's t into the block: lets
     # the kernel stop once every live ray's best hit is closer (classic
@@ -362,7 +382,8 @@ def _kernel_culled(count_ref, o_ref, d_ref, tmax_ref, blist_hbm, bdist_hbm,
 
 def intersect_culled_pallas(woop, org, d, t_min=1e-4, t_max=None,
                             any_hit: bool = False, interpret: bool = False,
-                            block_lists=None, early_stop: bool = True):
+                            block_lists=None, early_stop: bool = True,
+                            rb: int | None = None):
     """Cluster-culled streaming intersector for large scenes. The XLA side
     computes a conservative per-chunk active-block list (beam vs cluster
     spheres at CULL_TB granularity); the kernel walks only those blocks,
@@ -403,7 +424,8 @@ def intersect_culled_pallas(woop, org, d, t_min=1e-4, t_max=None,
     tnear = jnp.maximum(jnp.minimum(ta, tb_).max(-1), 0.0)
     t_max = jnp.where(tfar >= tnear,
                       jnp.minimum(t_max, tfar * 1.001 + 1e-3), 0.0)
-    rb = CULL_RAY_BLOCK
+    rb = CULL_RAY_BLOCK if rb is None else rb
+    assert rb % 8 == 0, "ray chunk must stay (8,128)-sublane aligned"
     rpad = (-rtot) % rb
     if rpad:
         org = jnp.concatenate([org, jnp.zeros((rpad, 3))], axis=0)

@@ -8,10 +8,12 @@ multi-host layer adds a ("host", "tile") mesh whose outer axis crosses DCN:
 host-major row sharding keeps filter halos on ICI, and scene distribution is
 a one-to-all broadcast from the baking host.
 """
-from .mesh import (distribute_scene, frame_state_sharding, init_distributed,
+from .mesh import (collective_summary, compile_frame_sharded,
+                   distribute_scene, frame_state_sharding, init_distributed,
                    make_mesh, make_multihost_mesh, render_frame_multihost,
                    render_frame_sharded, shard_rays_pt)
 
 __all__ = ["make_mesh", "frame_state_sharding", "render_frame_sharded",
            "shard_rays_pt", "make_multihost_mesh", "render_frame_multihost",
-           "distribute_scene", "init_distributed"]
+           "distribute_scene", "init_distributed", "compile_frame_sharded",
+           "collective_summary"]

@@ -47,10 +47,10 @@ def frame_state_sharding(state, mesh: Mesh, axis: str = "tile"):
     return jax.tree_util.tree_map(lambda x: _spec_for(x, mesh, axis), state)
 
 
-def render_frame_sharded(ts, state, view, cfg, levels, mesh: Mesh,
-                         axis: str = "tile"):
-    """Jit `render_frame` with GSPMD shardings over `mesh` and run one frame.
-    Returns (new_state, outputs). Used by tests and `dryrun_multichip`."""
+def _sharded_step(ts, state, view, cfg, levels, mesh: Mesh,
+                  axis: str = "tile"):
+    """(jitted_fn, placed_args) for the GSPMD frame step — shared by the
+    runner, the HLO-quality test, and `dryrun_multichip`'s cost summary."""
     from ..frame import render_frame
 
     state_sh = frame_state_sharding(state, mesh, axis)
@@ -62,10 +62,58 @@ def render_frame_sharded(ts, state, view, cfg, levels, mesh: Mesh,
         return render_frame(ts_, state_, view_, cfg, levels=levels)
 
     fn = jax.jit(step, in_shardings=(ts_sh, state_sh, view_sh))
-    state = jax.device_put(state, state_sh)
-    ts = jax.device_put(ts, ts_sh)
-    view = jax.device_put(view, view_sh)
-    return fn(ts, state, view)
+    args = (jax.device_put(ts, ts_sh), jax.device_put(state, state_sh),
+            jax.device_put(view, view_sh))
+    return fn, args
+
+
+def render_frame_sharded(ts, state, view, cfg, levels, mesh: Mesh,
+                         axis: str = "tile"):
+    """Jit `render_frame` with GSPMD shardings over `mesh` and run one frame.
+    Returns (new_state, outputs). Used by tests and `dryrun_multichip`."""
+    fn, args = _sharded_step(ts, state, view, cfg, levels, mesh, axis)
+    return fn(*args)
+
+
+def compile_frame_sharded(ts, state, view, cfg, levels, mesh: Mesh,
+                          axis: str = "tile"):
+    """Lower + compile the sharded frame step WITHOUT running it. Returns
+    the jax `Compiled` object (post-GSPMD, post-optimization HLO via
+    `.as_text()`, per-device cost via `.cost_analysis()`)."""
+    fn, args = _sharded_step(ts, state, view, cfg, levels, mesh, axis)
+    return fn.lower(*args).compile()
+
+
+def collective_summary(compiled):
+    """Count + total payload bytes of each collective kind in the optimized
+    HLO of a compiled sharded program.
+
+    This is the sharding-quality contract (SURVEY.md §2.8): with replicated
+    scene tables and row-sharded frame planes, cross-chip traffic must be
+    halo exchanges (collective-permute) and small reductions (all-reduce for
+    histogram/exposure) — never a full-frame all-gather, which would mean
+    GSPMD fell back to gathering a whole plane onto every chip."""
+    import re
+
+    text = compiled.as_text()
+    _elem_bytes = {"f64": 8, "s64": 8, "u64": 8, "f32": 4, "s32": 4,
+                   "u32": 4, "bf16": 2, "f16": 2, "s16": 2, "u16": 2,
+                   "pred": 1, "s8": 1, "u8": 1}
+    out = {}
+    for m in re.finditer(
+            r"(\w[\w\d]*)\[([\d,]*)\][^=]*=\s*(all-gather|all-reduce|"
+            r"collective-permute|all-to-all|reduce-scatter)\b", text):
+        dtype, dims, kind = m.group(1), m.group(2), m.group(3)
+        n = 1
+        for dpart in dims.split(","):
+            if dpart:
+                n *= int(dpart)
+        ent = out.setdefault(kind, {"count": 0, "bytes": 0, "max_bytes": 0})
+        nbytes = n * _elem_bytes.get(dtype, 4)
+        ent["count"] += 1
+        ent["bytes"] += nbytes
+        ent["max_bytes"] = max(ent["max_bytes"], nbytes)
+    return out
 
 
 # ----------------------------------------------------------------------------

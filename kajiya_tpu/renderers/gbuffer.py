@@ -79,8 +79,14 @@ def gbuffer_from_hit(ts: TraceScene, view: ViewConstants, hit, df,
     """Shared attribute interpolation + packing: per-pixel Hit -> gbuffer
     dict (the `raster_simple_ps.hlsl` / gbuffer-packing half of the pass).
     hit/df are flat row-major over (height, width) pixels."""
+    # primary ray cone: width grows linearly with hit distance at the
+    # per-pixel spread angle ~ 2*tan(fov_y/2)/H (ray_cone.hlsl /
+    # `pixel_cone_spread_angle_from_image_height`); view_to_clip[1,1] is
+    # 1/tan(fov_y/2). Drives the footprint-derived texture mip.
+    spread = 2.0 / (view.view_to_clip[1, 1] * height)
+    cone_w = spread * jnp.where(hit.hit_mask, hit.t, 0.0)
     attrs = hit_attributes(ts, hit, df, no_normal_maps=no_normal_maps,
-                           with_prev_pos=True)
+                           with_prev_pos=True, cone_width=cone_w)
 
     m = hit.hit_mask
     pos = attrs["pos"]

@@ -40,7 +40,8 @@ def hit_radiance(ts, hit, ray_dir, sky_env, diffuse_env,
                  ircache_lookup=None, max_trace_steps=None, near: float = 0.01,
                  rng=None, light_nee: bool = True,
                  full_shading: bool = False, return_aux: bool = False,
-                 wrc_lookup=None, wrc_min_t: float = 20.0):
+                 wrc_lookup=None, wrc_min_t: float = 20.0,
+                 cone_width0=None, cone_spread: float = 0.033):
     """Radiance arriving along `ray_dir` from hit/miss points. (R,) rays.
 
     prev_lit/prev_depth + view enable screen-space radiance reuse (the
@@ -59,8 +60,16 @@ def hit_radiance(ts, hit, ray_dir, sky_env, diffuse_env,
     bleed. Threaded from `RenderConfig.secondary_full_shading`.
     """
     m = hit.hit_mask
-    # secondary rays sample a coarser texture mip (ray-cone LOD stand-in)
-    attrs = hit_attributes(ts, hit, ray_dir, mip=2, full_shading=full_shading)
+    # secondary ray cone (`diffuse_trace_common.inc.hlsl:69-72`): width at
+    # the hit = width at the ray origin + spread * t. cone_spread defaults
+    # to the reference's reflected_cone_spread_angle (0.03) + a 1080p-ish
+    # pixel angle; cone_width0, when the caller knows it, carries the
+    # primary footprint (pixel_spread * eye distance).
+    cw = cone_spread * jnp.where(m, hit.t, 1.0)
+    if cone_width0 is not None:
+        cw = cw + cone_width0
+    attrs = hit_attributes(ts, hit, ray_dir, cone_width=cw,
+                           full_shading=full_shading)
     pos, n = attrs["pos"], attrs["normal"]
 
     # --- sun direct at the hit (one shadow ray; the reference's 1 shadow/px)

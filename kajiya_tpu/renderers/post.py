@@ -75,7 +75,12 @@ def exposure_from_histogram(hist, low_frac=0.6, high_frac=0.95,
 
 
 def init_exposure_state(ev_shift: float = 0.0):
-    return {"smoothed_ev": jnp.asarray(0.0, jnp.float32)}
+    # pre_mult: the reference's pre-exposure split (world_renderer.rs:265-286)
+    # — the part of the exposure applied BEFORE the temporal stack so history
+    # clamps, variance estimates and the bf16 glare pyramid operate in a
+    # stable mid-grey range; post_combine applies only the remainder.
+    return {"smoothed_ev": jnp.asarray(0.0, jnp.float32),
+            "pre_mult": jnp.asarray(1.0, jnp.float32)}
 
 
 def update_exposure(state, lit, dt: float = 1.0 / 60.0, speed: float = 2.5,

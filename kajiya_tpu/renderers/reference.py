@@ -60,9 +60,15 @@ def path_trace(
     light_nee: bool = True,
     max_trace_steps=None,
     sky_fn=None,
+    cone_spread=None,
 ):
     """Trace one path per input ray. org/d: (R, 3); seed: (R,) uint32.
-    Returns radiance (R, 3)."""
+    Returns radiance (R, 3).
+
+    cone_spread: per-ray footprint angle for ray-cone texture LOD — the
+    cone width at each hit is cone_spread * cumulative path distance (the
+    reference PT carries a RayCone the same way,
+    `reference_path_trace.rgen.hlsl:123-152`). None = mip 0 everywhere."""
     R = org.shape[0]
     state = dict(
         org=org,
@@ -72,6 +78,7 @@ def path_trace(
         rng=jnp.asarray(seed, jnp.uint32),
         active=jnp.ones((R,), bool),
         prev_pdf=jnp.full((R,), 1e8, jnp.float32),  # ~delta: camera rays get full emission
+        path_t=jnp.zeros((R,), jnp.float32),
     )
 
     def bounce(state, bounce_idx):
@@ -91,7 +98,9 @@ def path_trace(
         radiance = radiance + jnp.where(
             (act & ~hit.hit_mask)[:, None], tp * sky, 0.0)
 
-        attrs = hit_attributes(ts, hit, d)
+        path_t = state["path_t"] + jnp.where(m, hit.t, 0.0)
+        cw = None if cone_spread is None else cone_spread * path_t
+        attrs = hit_attributes(ts, hit, d, cone_width=cw)
         pos, n = attrs["pos"], attrs["normal"]
         wo = -d
 
@@ -162,6 +171,7 @@ def path_trace(
             rng=rng,
             active=ok & survive,
             prev_pdf=jnp.where(ok, pdf, state["prev_pdf"]),
+            path_t=path_t,
         )
         return new_state, None
 

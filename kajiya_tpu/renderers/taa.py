@@ -244,9 +244,17 @@ def _to_render(x, h, w):
     return im.warp_nearest(x, im.pixel_uv(h, w))
 
 
-def taa(input_img, state, reproj, depth, jitter_px, out_h: int, out_w: int):
-    """input_img: (H, W, 3) lit radiance at render res; depth: (H, W)
-    reversed-Z g-buffer depth. Returns ((out_h, out_w, 3), new_state)."""
+def taa(input_img, state, reproj, depth, jitter_px, out_h: int, out_w: int,
+        pre_delta=None):
+    """input_img: (H, W, 3) lit radiance at render res (PRE-EXPOSED when the
+    pre-exposure split is active); depth: (H, W) reversed-Z g-buffer depth.
+    pre_delta: this frame's pre-exposure multiplier over last frame's —
+    history was accumulated at the old pre-exposure, so its radiance is
+    rescaled by pre_delta (and the variance accumulator by the same factor:
+    it lives in sqrt-encoded space, where a linear scale k becomes √k per
+    channel, k on the squared deviation) exactly as the reference's
+    `reproject_history.hlsl:24` / `temporal_filter.hlsl:102`.
+    Returns ((out_h, out_w, 3), new_state)."""
     h, w = input_img.shape[:2]
     same_res = (out_h == h and out_w == w)
     frac_x, frac_y = w / out_w, h / out_h
@@ -270,9 +278,17 @@ def taa(input_img, state, reproj, depth, jitter_px, out_h: int, out_w: int):
                               state["taa_smooth_var"],
                               state["taa_velocity"]], axis=-1)
     fetched = im.warp_bilinear(packed, prev_uv_out)
-    rhist = decode_rgb(jnp.maximum(fetched[..., 0:3], 0.0))  # perceptual
-    rcov = jnp.maximum(fetched[..., 3], 0.0)
+    hist_lin = jnp.maximum(fetched[..., 0:3], 0.0)
     rsvar = jnp.maximum(fetched[..., 4:7], 0.0)
+    if pre_delta is not None:
+        # history is stored LINEAR: scale it by the full delta BEFORE the
+        # perceptual decode (decode is homogeneous of degree 1/2, so the
+        # sqrt-encoded value scales by sqrt(delta)); the variance
+        # accumulator lives in sqrt-encoded space and scales by delta.
+        hist_lin = hist_lin * pre_delta
+        rsvar = rsvar * pre_delta
+    rhist = decode_rgb(hist_lin)                             # perceptual
+    rcov = jnp.maximum(fetched[..., 3], 0.0)
     rvel = fetched[..., 7:9]
 
     # ---- pass 3: filtered history at render res

@@ -193,14 +193,18 @@ def _can_sort(ts, sort: bool) -> bool:
 
 
 def scene_trace_closest(ts, org, d, t_min=1e-4, t_max=INF, max_steps=None,
-                        sort: bool = False) -> Hit:
-    """Closest-hit against a TraceScene (~ `GbufferRaytrace::trace`)."""
+                        sort: bool = False, rb=None) -> Hit:
+    """Closest-hit against a TraceScene (~ `GbufferRaytrace::trace`).
+    `rb` overrides the culled kernel's rays-per-chunk; sorted wavefronts
+    default to the fine SORT_RAY_BLOCK (divergent chunks cull tighter)."""
     if _can_sort(ts, sort):
-        from ..ops.raysort import sorted_trace
+        from ..ops.raysort import SORT_RAY_BLOCK, sorted_trace
+
+        crb = SORT_RAY_BLOCK if rb is None else rb
 
         def fn(o, dd, tm):
             h = scene_trace_closest(ts, o, dd, t_min=t_min, t_max=tm,
-                                    max_steps=max_steps)
+                                    max_steps=max_steps, rb=crb)
             return h.t, h.tri, h.u, h.v
 
         t, tri, u, v = sorted_trace(fn, ts.woop, org, d, t_max=t_max)
@@ -210,27 +214,31 @@ def scene_trace_closest(ts, org, d, t_min=1e-4, t_max=INF, max_steps=None,
             from ..ops.woop_pallas import intersect_scene_pallas
 
             t, tri, u, v = intersect_scene_pallas(ts.woop, org, d,
-                                                  t_min=t_min, t_max=t_max)
+                                                  t_min=t_min, t_max=t_max,
+                                                  rb=rb)
             return Hit(t=t, tri=tri, u=u, v=v)
         from ..ops.woop import CULLED_RAY_BLOCK, intersect_brute
 
-        rb = CULLED_RAY_BLOCK if "cmin" in ts.woop else None
+        brb = CULLED_RAY_BLOCK if "cmin" in ts.woop else None
         t, tri, u, v = intersect_brute(ts.woop, org, d, t_min=t_min,
                                        t_max=t_max,
-                                       **({"ray_block": rb} if rb else {}))
+                                       **({"ray_block": brb} if brb
+                                          else {}))
         return Hit(t=t, tri=tri, u=u, v=v)
     return trace_closest(ts.bvh, ts.tris, org, d, t_min, t_max, max_steps)
 
 
 def scene_trace_shadow(ts, org, d, t_min=1e-4, t_max=INF, max_steps=None,
-                       sort: bool = False):
+                       sort: bool = False, rb=None):
     """Occlusion against a TraceScene -> (R,) bool (~ `rt_is_shadowed`)."""
     if _can_sort(ts, sort):
-        from ..ops.raysort import sorted_trace
+        from ..ops.raysort import SORT_RAY_BLOCK, sorted_trace
+
+        crb = SORT_RAY_BLOCK if rb is None else rb
 
         def fn(o, dd, tm):
             return (scene_trace_shadow(ts, o, dd, t_min=t_min, t_max=tm,
-                                       max_steps=max_steps),)
+                                       max_steps=max_steps, rb=crb),)
 
         (occ,) = sorted_trace(fn, ts.woop, org, d, t_max=t_max)
         return occ
@@ -239,13 +247,15 @@ def scene_trace_shadow(ts, org, d, t_min=1e-4, t_max=INF, max_steps=None,
             from ..ops.woop_pallas import intersect_scene_pallas
 
             _t, tri, _u, _v = intersect_scene_pallas(
-                ts.woop, org, d, t_min=t_min, t_max=t_max, any_hit=True)
+                ts.woop, org, d, t_min=t_min, t_max=t_max, any_hit=True,
+                rb=rb)
             return tri >= 0
         from ..ops.woop import CULLED_RAY_BLOCK, intersect_brute
 
-        rb = CULLED_RAY_BLOCK if "cmin" in ts.woop else None
+        brb = CULLED_RAY_BLOCK if "cmin" in ts.woop else None
         t, tri, _u, _v = intersect_brute(ts.woop, org, d, t_min=t_min,
                                          t_max=t_max, any_hit=True,
-                                         **({"ray_block": rb} if rb else {}))
+                                         **({"ray_block": brb} if brb
+                                            else {}))
         return tri >= 0
     return trace_shadow(ts.bvh, ts.tris, org, d, t_min, t_max, max_steps)

@@ -97,7 +97,7 @@ class GpuScene:
     sun_direction: Any    # (3,) f32 (normalized, towards the sun)
     sun_radiance: Any     # (3,) f32
     sun_angular_radius: Any  # () f32
-    tex_pages: Any = None    # tuple of per-mip (N, s, s, 4) uint8 arrays, or None
+    tex_pages: Any = None    # (N, s, s + s//2, 4) uint8 mip atlas, or None
     mat_tex: Any = None      # (M, 4) i32 page ids [base, mr, normal, emissive]
     page_sub: Any = None     # (P, 4) i32 [page, size, ox, oy] subregion table
 
@@ -238,8 +238,7 @@ def _build_gpu_scene(scene: Scene, max_lights: int = 4096,
     if with_textures and img_src:
         from .textures import build_texture_pages
 
-        pages, page_sub = build_texture_pages(img_src)
-        tex_pages = tuple(pages)
+        tex_pages, page_sub = build_texture_pages(img_src)
         mat_tex = jnp.asarray(np.asarray(mat_tex_rows, np.int32))
 
     return GpuScene(

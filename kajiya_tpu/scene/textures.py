@@ -137,8 +137,20 @@ def build_texture_pages(image_sources, page_size: int | None = None,
         n, s, _, c = cur.shape
         cur = cur.reshape(n, s // 2, 2, s // 2, 2, c).mean(axis=(2, 4))
         mips.append(np.round(cur).astype(np.uint8))
-    return ([jnp.asarray(m) for m in mips],
-            jnp.asarray(np.asarray(sub, np.int32)))
+    # Pack the whole mip chain into ONE (N, S, S + S/2, 4) atlas so the mip
+    # becomes an INDEX TRANSFORM instead of an array choice: a per-RAY
+    # dynamic mip (ray-cone LOD, `inc/ray_cone.hlsl`) then costs exactly the
+    # same single gather as a static mip. Layout: mip 0 at x in [0, S);
+    # mip m >= 1 in the right column at x = S, stacked downward
+    # (y_m = S - 2*(S >> m)), the classic mip-tail packing.
+    s = page_size
+    atlas = np.zeros((base.shape[0], s, s + s // 2, 4), np.uint8)
+    atlas[:, :, :s] = base
+    for m_i in range(1, n_mips):
+        sm = s >> m_i
+        y0 = s - 2 * sm
+        atlas[:, y0:y0 + sm, s:s + sm] = mips[m_i]
+    return jnp.asarray(atlas), jnp.asarray(np.asarray(sub, np.int32))
 
 
 def _decode_fetch(texel_u8, srgb: bool):
@@ -153,21 +165,44 @@ def _decode_fetch(texel_u8, srgb: bool):
 
 
 def sample_pages(pages, page_sub, page_idx, uv, mip=0, nearest: bool = False,
-                 srgb: bool = False):
-    """Texture fetch. page_idx: (...,) int32 slot (0 = white), uv: (..., 2),
-    mip: static int. Returns (..., 4) float32. `nearest=True` costs ONE
-    gather instead of four — used for non-color maps (MR/emissive/normal),
-    where TPU gather latency dominates and bilinear smoothing matters least.
-    `srgb=True` decodes rgb to linear after the fetch (base color/emissive
-    slots; cf. TexGamma::Srgb in the reference's asset pipeline)."""
-    tex = pages[mip]                      # (N, s, s, 4) uint8
+                 srgb: bool = False, lod_base=None):
+    """Texture fetch from the packed mip atlas. page_idx: (...,) int32 slot
+    (0 = white), uv: (..., 2). Returns (..., 4) float32.
+
+    mip: static int, or a (...,) int32 array — the atlas packing makes a
+    per-ray mip the same single gather as a static one. lod_base: per-ray
+    ray-cone LOD term (`inc/ray_cone.hlsl` / `gbuffer.rchit.hlsl:29-44`
+    lambda WITHOUT its texture-size term); the final level is
+    lod_base + log2(texture_size), computed here per slot because each
+    material map has its own resolution. Overrides `mip` when given.
+
+    `nearest=True` costs ONE gather instead of four — used for non-color
+    maps (MR/emissive/normal), where TPU gather latency dominates and
+    bilinear smoothing matters least. `srgb=True` decodes rgb to linear
+    after the fetch (base color/emissive slots; cf. TexGamma::Srgb in the
+    reference's asset pipeline)."""
+    tex = pages                           # (N, s, s + s//2, 4) uint8 atlas
     n, s = tex.shape[0], tex.shape[1]
+    n_mips = int(np.log2(s // 16)) + 1
     p = jnp.clip(page_idx, 0, page_sub.shape[0] - 1)
     meta = page_sub[p]                    # (..., 4): page, size, ox, oy
     page = jnp.clip(meta[..., 0], 0, n - 1)
-    size = meta[..., 1] >> mip            # subregion size at this mip
-    ox = meta[..., 2] >> mip
-    oy = meta[..., 3] >> mip
+    size0 = meta[..., 1]
+    if lod_base is not None:
+        # nearest-mip selection (hardware trilinear's fractional blend is
+        # two gathers; the TAA jitter dithers the transition instead)
+        mip = jnp.clip(jnp.round(
+            lod_base + jnp.log2(size0.astype(jnp.float32))
+        ).astype(jnp.int32), 0, n_mips - 1)
+    else:
+        mip = jnp.minimum(jnp.asarray(mip, jnp.int32), n_mips - 1)
+    size = size0 >> mip                   # subregion size at this mip
+    # atlas placement of mip m: m=0 at (0, 0); m>=1 right column at
+    # x = s, y = s - 2*(s >> m) (see build_texture_pages)
+    in_tail = mip > 0
+    sm = s >> jnp.maximum(mip, 1)
+    ox = (meta[..., 2] >> mip) + jnp.where(in_tail, s, 0)
+    oy = (meta[..., 3] >> mip) + jnp.where(in_tail, s - 2 * sm, 0)
     sizef = size.astype(jnp.float32)
 
     u = uv[..., 0] - jnp.floor(uv[..., 0])    # wrap addressing

@@ -47,7 +47,7 @@ class TraceScene:
     light_emission: Any  # (L, 3)
     light_normal: Any = None   # (L, 3) unit normals (precomputed)
     woop: Any = None    # dict from ops.woop.build_woop, or None (BVH path)
-    tri_attrs: Any = None   # (T, 31) consolidated per-triangle attributes
+    tri_attrs: Any = None   # (T, 35) consolidated per-triangle attributes
     vert_attrs: Any = None  # (V, 9) OBJECT-space normal(3) + uv(2) + tangent(4)
 
     _F = ("gpu", "bvh", "v0", "e1", "e2", "inst_rot",
@@ -127,6 +127,22 @@ def _permute_triangles(gpu: GpuScene, perm: "np.ndarray") -> GpuScene:
     return GpuScene(**kw)
 
 
+def _tri_lod_constant(gpu: GpuScene, e1, e2):
+    """(T,) 0.5 * log2(twice_uv_area / twice_world_area) per triangle — the
+    geometry half of the ray-cone mip level (`inc/ray_cone.hlsl`,
+    `gbuffer.rchit.hlsl:92`). Degenerate UVs fall back to 0 (such
+    triangles sample mip ~log2(cone_width*size), still sane)."""
+    uv = gpu.uvs[gpu.tri_idx]                               # (T, 3, 2)
+    duv1 = uv[:, 1] - uv[:, 0]
+    duv2 = uv[:, 2] - uv[:, 0]
+    uv_area2 = jnp.abs(duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0])
+    w_area2 = smv.norm3(jnp.cross(e1, e2))
+    ok = (uv_area2 > 1e-20) & (w_area2 > 1e-20)
+    return jnp.where(
+        ok, 0.5 * jnp.log2(jnp.maximum(uv_area2, 1e-20)
+                           / jnp.maximum(w_area2, 1e-20)), 0.0)
+
+
 def refresh_trace_scene(gpu: GpuScene, bvh: Bvh, levels,
                         use_brute: bool | None = None) -> TraceScene:
     """Jit-safe: recompute world geometry + refit BVH for current transforms
@@ -193,7 +209,11 @@ def refresh_trace_scene(gpu: GpuScene, bvh: Bvh, levels,
         # the separate (R, 3) tri_idx gather + its column extractions
         # (~8 ms/frame at 1080p on the serial gather path)
         gpu.tri_idx.astype(jnp.float32),
-    ], axis=-1)                                           # (T, 34)
+        # ray-cone LOD triangle constant 0.5*log2(uv_area/world_area)
+        # (`gbuffer.rchit.hlsl:92` lod_triangle_constant) — recomputed here
+        # because world areas change with per-frame transforms
+        _tri_lod_constant(gpu, e1, e2)[:, None],
+    ], axis=-1)                                           # (T, 35)
     # vertex attributes stay OBJECT-space (shared across instances — true
     # instancing); hit_attributes rotates normals/tangents to world with
     # the per-hit instance rotation, the reference's object->world hit
@@ -223,13 +243,18 @@ def refresh_trace_scene(gpu: GpuScene, bvh: Bvh, levels,
 def hit_attributes(ts: TraceScene, hit, ray_dir, mip: int = 0,
                    no_normal_maps: bool = False,
                    full_shading: bool = True,
-                   with_prev_pos: bool = False):
+                   with_prev_pos: bool = False,
+                   cone_width=None):
     """Fetch shading attributes at hit points (the software `gbuffer.rchit`,
     cf. `assets/shaders/rt/gbuffer.rchit.hlsl`). All entries are safe for
     missed rays (mask with hit.hit_mask). Returns a dict of (R, ...) arrays.
 
-    `mip` selects the texture mip (primary rays 0; secondary rays pass a
-    coarser level — the ray-cone LOD role of `inc/ray_cone.hlsl`).
+    `cone_width`: per-ray footprint width at the hit (ray-cone LOD,
+    `inc/ray_cone.hlsl` + `gbuffer.rchit.hlsl:29-44`): the texture mip is
+    derived from the pixel footprint projected into texel space —
+    lambda = tri_constant + log2(cone_width) - log2(|dot(dir, geo_n)|)
+    (+ log2(texture_size) inside sample_pages). Falls back to the static
+    `mip` when None (primary rays 0; legacy secondary call sites 2).
 
     Internals are LANE-MAJOR (C, R): the attribute fetch lands as (31, R)
     dense rows (ops/gather.py::fetch_rows_t — small scenes skip the serial
@@ -307,15 +332,23 @@ def hit_attributes(ts: TraceScene, hit, ray_dir, mip: int = 0,
         # roughness in G and metalness in B of the MR map)
         from .scene.textures import sample_pages
 
+        lod_base = None
+        if cone_width is not None:
+            cos_in = jnp.abs(dot3_l(geo_n, rd_t))[0]        # (R,)
+            lod_base = (ta[34]
+                        + jnp.log2(jnp.maximum(jnp.abs(cone_width), 1e-12))
+                        - jnp.log2(jnp.clip(cos_in, 1e-2, 1.0)))
+
         slots = gpu.mat_tex[mat]                      # (R, 4)
         # per-slot color space (TexGamma::{Srgb,Linear} in kajiya-asset):
         # base color + emissive are sRGB; MR + normal maps are linear data
         bc = sample_pages(gpu.tex_pages, gpu.page_sub, slots[:, 0], uv,
-                          mip=mip, srgb=True)
+                          mip=mip, srgb=True, lod_base=lod_base)
         mr = sample_pages(gpu.tex_pages, gpu.page_sub, slots[:, 1], uv,
-                          mip=mip, nearest=True)
+                          mip=mip, nearest=True, lod_base=lod_base)
         em = sample_pages(gpu.tex_pages, gpu.page_sub, slots[:, 3], uv,
-                          mip=mip, nearest=True, srgb=True)
+                          mip=mip, nearest=True, srgb=True,
+                          lod_base=lod_base)
         base_color = base_color * bc[:, :3].T
         roughness = jnp.clip(roughness * mr[:, 1], 1e-3, 1.0)
         metallic = jnp.clip(metallic * mr[:, 2], 0.0, 1.0)
@@ -324,7 +357,7 @@ def hit_attributes(ts: TraceScene, hit, ray_dir, mip: int = 0,
         # normal maps via the vertex TBN; lanes without a normal texture or
         # tangents keep the interpolated normal)
         nm = sample_pages(gpu.tex_pages, gpu.page_sub, slots[:, 2], uv,
-                          mip=mip, nearest=True)
+                          mip=mip, nearest=True, lod_base=lod_base)
         tnorm = nm[:, :3].T * 2.0 - 1.0                # (3, R)
         t_len = jnp.sqrt(dot3_l(tangent, tangent))     # (1, R)
         t_ok = (t_len[0] > 1e-4) & (slots[:, 2] > 0)

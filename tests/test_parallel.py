@@ -57,6 +57,40 @@ class TestTileSharding:
         assert np.isfinite(np.asarray(new_state["prev_lit"])).all()
 
 
+class TestShardingQuality:
+    def test_no_full_plane_all_gathers(self, setup):
+        """VERDICT r4 #10: compile the 8-device GSPMD frame and assert the
+        optimized HLO's cross-chip traffic is halo-shaped — no collective
+        moves a full frame plane. Row-sharded planes + replicated scene
+        should need only boundary-row collective-permutes and small
+        reductions (histogram/exposure); a plane-sized all-gather means the
+        partitioner replicated a pass instead of sharding it."""
+        from kajiya_tpu.parallel import (collective_summary,
+                                         compile_frame_sharded)
+
+        ts, levels = setup
+        h, w = 16 * N_DEV, 64
+        cfg = RenderConfig(width=w, height=h, max_trace_steps=256,
+                           use_motion_blur=False)
+        view = make_view_constants((0, 0, 2.4), (0, 0, -1), fov_y_deg=55.0,
+                                   width=w, height=h)
+        mesh = make_mesh(N_DEV)
+        compiled = compile_frame_sharded(
+            ts, init_frame_state(cfg), view, cfg, levels, mesh)
+        summary = collective_summary(compiled)
+        assert summary, "expected some collectives (halos / reductions)"
+        plane_bytes = h * w * 4                 # one full f32 frame plane
+        for kind, ent in summary.items():
+            assert ent["max_bytes"] < plane_bytes, (
+                f"{kind} moves {ent['max_bytes']}B >= a full "
+                f"{h}x{w} plane ({plane_bytes}B): partitioner gave up "
+                f"somewhere ({summary})")
+        # the halo traffic itself must exist (screen-space filters read
+        # neighbor rows across shard boundaries)
+        assert "collective-permute" in summary or "all-to-all" in summary, (
+            summary)
+
+
 class TestSampleSharding:
     def test_spp_sharded_pt_matches_single(self, setup):
         ts, _ = setup

@@ -18,13 +18,23 @@ def _save_png(arr_u8, path):
     return path
 
 
+def _mip_region(atlas, m):
+    """Slice mip level m out of the packed atlas (see build_texture_pages)."""
+    s = atlas.shape[1]
+    if m == 0:
+        return atlas[:, :s, :s]
+    sm = s >> m
+    y0 = s - 2 * sm
+    return atlas[:, y0:y0 + sm, s:s + sm]
+
+
 class TestPages:
     def test_white_page_default(self):
         pages, sub = build_texture_pages([])
-        assert pages[0].shape == (1, PAGE_SIZE, PAGE_SIZE, 4)
-        assert pages[0].dtype == jnp.uint8
-        assert int(pages[0].min()) == 255
-        assert len(pages) == N_MIPS
+        assert pages.shape == (1, PAGE_SIZE, PAGE_SIZE + PAGE_SIZE // 2, 4)
+        assert pages.dtype == jnp.uint8
+        for m in range(N_MIPS):
+            assert int(_mip_region(pages, m).min()) == 255
         assert list(np.asarray(sub[0])) == [0, PAGE_SIZE, 0, 0]
 
     def test_bucket_sizes_and_packing(self):
@@ -39,8 +49,8 @@ class TestPages:
         # (the page grows to match), 300->512, 100->128, 64->128
         assert sub[1, 1] == 1024 and sub[2, 1] == 512
         assert sub[3, 1] == 128 and sub[4, 1] == 128
-        assert pages[0].shape[1] == 1024          # adaptive page size
-        assert pages[-1].shape[1] == 16           # mip floor stays 16^2
+        assert pages.shape[1] == 1024             # adaptive page size
+        assert _mip_region(pages, 6).shape[1] == 16   # mip floor stays 16^2
         # subregions within a page must not overlap
         boxes = {}
         for p, size, ox, oy in sub:
@@ -69,9 +79,36 @@ class TestPages:
         img = rng.integers(0, 255, (256, 256, 4), dtype=np.uint8)
         pages, sub = build_texture_pages([_save_png(img, "/tmp/_tex_m.png")])
         s, ox, oy = (int(x) for x in np.asarray(sub[1])[1:])
-        m0 = np.asarray(pages[0][-1])[oy:oy + s, ox:ox + s]
-        m2 = np.asarray(pages[2][-1])[oy >> 2:(oy + s) >> 2, ox >> 2:(ox + s) >> 2]
+        m0 = np.asarray(_mip_region(pages, 0)[-1])[oy:oy + s, ox:ox + s]
+        m2 = np.asarray(_mip_region(pages, 2)[-1])[
+            oy >> 2:(oy + s) >> 2, ox >> 2:(ox + s) >> 2]
         assert abs(m0.mean() - m2.mean()) < 1.5
+
+    def test_dynamic_mip_matches_static(self):
+        """A per-ray mip through the atlas index transform must return the
+        same texels as the static-mip path (the ray-cone LOD contract)."""
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 255, (256, 256, 4), dtype=np.uint8)
+        pages, sub = build_texture_pages([_save_png(img, "/tmp/_tex_d.png")])
+        idx = jnp.ones((5,), jnp.int32)
+        uv = jnp.asarray([[0.13, 0.77], [0.5, 0.5], [0.9, 0.1],
+                          [0.33, 0.66], [0.25, 0.75]])
+        for m in range(4):
+            stat = sample_pages(pages, sub, idx, uv, mip=m, nearest=True)
+            # lod_base such that lod_base + log2(size) == m exactly
+            size = float(np.asarray(sub)[1, 1])
+            lb = jnp.full((5,), m - np.log2(size), jnp.float32)
+            dyn = sample_pages(pages, sub, idx, uv, lod_base=lb,
+                               nearest=True)
+            np.testing.assert_array_equal(np.asarray(stat), np.asarray(dyn))
+        # mixed per-ray mips: each lane matches its own static fetch
+        lb = jnp.asarray([0, 1, 2, 3, 1], jnp.float32) - np.log2(
+            float(np.asarray(sub)[1, 1]))
+        dyn = sample_pages(pages, sub, idx, uv, lod_base=lb, nearest=True)
+        for i, m in enumerate([0, 1, 2, 3, 1]):
+            stat = sample_pages(pages, sub, idx, uv, mip=m, nearest=True)
+            np.testing.assert_array_equal(np.asarray(stat)[i],
+                                          np.asarray(dyn)[i])
 
     def test_srgb_per_slot(self):
         """The same texel read as color (srgb) vs data (linear) must differ
@@ -161,6 +198,6 @@ class TestDds:
         sub = np.asarray(sub)
         assert sub[1, 1] == 128          # 64 -> bucket 128
         p, size, ox, oy = sub[1]
-        got = np.asarray(pages[0])[p, oy:oy + size, ox:ox + size]
+        got = np.asarray(_mip_region(pages, 0))[p, oy:oy + size, ox:ox + size]
         # resized content, not the white fallback
         assert got.std() > 20
