@@ -217,16 +217,19 @@ def render_frame(ts, state, view: ViewConstants, cfg: RenderConfig,
         q_pos = q_pos.reshape(-1, 3)
         q_mask = q_mask.reshape(-1)
         with pass_scope("ircache"):
-            grid0 = ircache.build_grid(ir_state, eye, cfg.ircache)
-            ir_state = ircache.allocate(ir_state, grid0, q_pos, q_mask, eye,
-                                        frame_idx, cfg.ircache)
-            ir_state = ircache.trace_update(
-                ir_state, ts, sky_env, diffuse_env, eye, frame_idx,
-                cfg.ircache, max_trace_steps=mts,
-                secondary_full_shading=cfg.secondary_full_shading)
-            ir_grid = ircache.build_value_grid(
-                ir_state, ircache.build_grid(ir_state, eye, cfg.ircache),
-                cfg.ircache)
+            with pass_scope("alloc"):
+                grid0 = ircache.build_grid(ir_state, eye, cfg.ircache)
+                ir_state = ircache.allocate(ir_state, grid0, q_pos, q_mask,
+                                            eye, frame_idx, cfg.ircache)
+            with pass_scope("trace"):
+                ir_state = ircache.trace_update(
+                    ir_state, ts, sky_env, diffuse_env, eye, frame_idx,
+                    cfg.ircache, max_trace_steps=mts,
+                    secondary_full_shading=cfg.secondary_full_shading)
+            with pass_scope("value_grid"):
+                ir_grid = ircache.build_value_grid(
+                    ir_state, ircache.build_grid(ir_state, eye, cfg.ircache),
+                    cfg.ircache)
 
         def ircache_lookup(p, n, _st=ir_state, _g=ir_grid, _e=eye):
             return ircache.lookup_irradiance(_st, _g, p, n, _e, diffuse_env,
@@ -368,10 +371,12 @@ def render_frame(ts, state, view: ViewConstants, cfg: RenderConfig,
             org = jnp.concatenate(orgs)
             d = jnp.concatenate(dirs)
             rng = jnp.concatenate(rngs)
-            hit = scene_trace_closest(ts, org, d, t_min=1e-4, max_steps=mts,
-                                      sort=True)
-            rad, aux = hit_radiance(ts, hit, d, sky_env, diffuse_env,
-                                    rng=rng, return_aux=True, **shade_kw)
+            with pass_scope("trace"):
+                hit = scene_trace_closest(ts, org, d, t_min=1e-4,
+                                          max_steps=mts, sort=True)
+            with pass_scope("shade"):
+                rad, aux = hit_radiance(ts, hit, d, sky_env, diffuse_env,
+                                        rng=rng, return_aux=True, **shade_kw)
             nc = orgs[0].shape[0] if cfg.use_rtdgi else 0
             if cfg.use_rtdgi:
                 rtdgi_candidates = rtdgi.finish_candidates(

@@ -89,31 +89,98 @@ def collective_summary(compiled):
     HLO of a compiled sharded program.
 
     This is the sharding-quality contract (SURVEY.md §2.8): with replicated
-    scene tables and row-sharded frame planes, cross-chip traffic must be
-    halo exchanges (collective-permute) and small reductions (all-reduce for
-    histogram/exposure) — never a full-frame all-gather, which would mean
-    GSPMD fell back to gathering a whole plane onto every chip."""
+    scene tables and row-sharded frame planes, cross-chip traffic is
+    (a) halo exchanges for filter stencils (collective-permute of boundary
+    rows), (b) small reductions (histogram/exposure all-reduce), and (c)
+    wavefront-sized distributed gathers from the screen-space radiance
+    reuse (a secondary hit can project ANYWHERE on screen, so GSPMD gathers
+    from the row shard that owns the pixel: all-gather of (rays, 2) indices
+    + all-reduce of the (rays,) partials — real algorithmic traffic that
+    rides ICI, not a partitioner fallback). What must NEVER appear is a
+    replication fallback: a collective moving MANY planes at once (the
+    state pytree is ~40 planes, so a blow-up is an order of magnitude above
+    any single-plane gather).
+
+    HLO result lines look like
+      %name = f32[128,64]{1,0} all-gather(%op), ...
+      %name = (f32[16,8]{...}, f32[16,8]{...}) all-to-all(...), ...
+    (result type AFTER the '=', tuples for multi-operand all-to-alls)."""
     import re
 
     text = compiled.as_text()
     _elem_bytes = {"f64": 8, "s64": 8, "u64": 8, "f32": 4, "s32": 4,
                    "u32": 4, "bf16": 2, "f16": 2, "s16": 2, "u16": 2,
                    "pred": 1, "s8": 1, "u8": 1}
+    _shape = re.compile(r"(\w+)\[([\d,]*)\]")
     out = {}
-    for m in re.finditer(
-            r"(\w[\w\d]*)\[([\d,]*)\][^=]*=\s*(all-gather|all-reduce|"
-            r"collective-permute|all-to-all|reduce-scatter)\b", text):
-        dtype, dims, kind = m.group(1), m.group(2), m.group(3)
-        n = 1
-        for dpart in dims.split(","):
-            if dpart:
-                n *= int(dpart)
+    for line in text.splitlines():
+        m = re.search(
+            r"=\s*(\([^)]*\)|\S+)\s+(all-gather|all-reduce|"
+            r"collective-permute|all-to-all|reduce-scatter)\(", line)
+        if not m:
+            continue
+        result_ty, kind = m.group(1), m.group(2)
+        nbytes = 0
+        for dtype, dims in _shape.findall(result_ty):
+            n = 1
+            for dpart in dims.split(","):
+                if dpart:
+                    n *= int(dpart)
+            nbytes += n * _elem_bytes.get(dtype, 4)
         ent = out.setdefault(kind, {"count": 0, "bytes": 0, "max_bytes": 0})
-        nbytes = n * _elem_bytes.get(dtype, 4)
         ent["count"] += 1
         ent["bytes"] += nbytes
         ent["max_bytes"] = max(ent["max_bytes"], nbytes)
+        op = re.search(r'op_name="([^"]*)"', line)
+        if op and "ircache" in op.group(1):
+            ent["cache_max_bytes"] = max(ent.get("cache_max_bytes", 0),
+                                         nbytes)
+        else:
+            ent["plane_max_bytes"] = max(ent.get("plane_max_bytes", 0),
+                                         nbytes)
     return out
+
+
+def check_sharding_quality(compiled, height: int, width: int,
+                           warp_planes: int = 20,
+                           cache_bytes: int = 8 << 20):
+    """The sharding-quality contract, shared by tests and dryrun_multichip.
+    Returns (summary, problems); empty problems = contract holds.
+
+    Measured taxonomy of the sharded frame's collectives (8-way row
+    sharding, cornell 128x64 — tools/probe_collectives.py):
+      * collective-permute, <= ~half a plane: halo rows for filter stencils
+        and the boundary terms of near-diagonal one-hot resampling matmuls.
+      * all-gather / all-reduce of k*plane, k <= ~15: distributed gathers —
+        screen-space reuse and temporal warps fetch from whichever row
+        shard owns the source pixel (GSPMD: all-gather the (rays, 2)
+        indices, all-reduce the masked partial fetch), and one-hot
+        resample matmuls contract over the sharded row axis. k = channel
+        count of the warped bundle (TAA packed warp = 9, rtr resolve dot =
+        15), NOT the ~40-plane state: a replication fallback would blow
+        past `warp_planes` immediately.
+      * ircache scatter/gather reductions: pool-sized (scene-structure)
+        constants, independent of resolution — sharded rays voting into
+        the replicated cache via psum is the intended design (SURVEY
+        §2.8). Bounded by `cache_bytes`, not by plane multiples.
+    """
+    summary = collective_summary(compiled)
+    plane = height * width * 4
+    problems = []
+    if not summary:
+        problems.append("no collectives at all: the partitioner either "
+                        "replicated every pass or ran nothing sharded")
+    for kind, ent in summary.items():
+        if ent.get("plane_max_bytes", 0) > warp_planes * plane:
+            problems.append(
+                f"{kind}: screen-space collective moves "
+                f"{ent['plane_max_bytes']}B > {warp_planes} planes "
+                f"({warp_planes * plane}B) — replication fallback?")
+        if ent.get("cache_max_bytes", 0) > cache_bytes:
+            problems.append(
+                f"{kind}: ircache collective moves "
+                f"{ent['cache_max_bytes']}B > {cache_bytes}B")
+    return summary, problems
 
 
 # ----------------------------------------------------------------------------

@@ -21,13 +21,15 @@ def _tile_reduce_max(vel, tile: int):
     h, w = vel.shape[:2]
     ht, wt = h // tile, w // tile
     v = vel[:ht * tile, :wt * tile].reshape(ht, tile, wt, tile, 2)
-    mag = jnp.linalg.norm(v, axis=-1)
-    flat = v.transpose(0, 2, 1, 3, 4).reshape(ht, wt, tile * tile, 2)
-    magf = mag.transpose(0, 2, 1, 3).reshape(ht, wt, tile * tile)
-    idx = jnp.argmax(magf, axis=-1)
-    iy = jnp.arange(ht)[:, None]
-    ix = jnp.arange(wt)[None, :]
-    return flat[iy, ix, idx]
+    # winner-mask reduction instead of transpose+argmax+gather: reductions
+    # over the strided (1, 3) axes stay in-layout on the VPU, while the
+    # transpose pair relayouts two full planes (the round-4 finding:
+    # stride shuffles cost ~1-4 ms per 1080p plane). Ties average.
+    mag = (v * v).sum(-1)                          # (ht, tile, wt, tile)
+    mmax = mag.max(axis=(1, 3), keepdims=True)
+    win = (mag >= mmax)[..., None]
+    cnt = win.sum(axis=(1, 3))
+    return (v * win).sum(axis=(1, 3)) / jnp.maximum(cnt, 1.0)
 
 
 def _dilate_max(tiles):
@@ -43,10 +45,13 @@ def motion_blur(color, velocity, depth, frame_fraction: float = 0.5):
     """color (H, W, 3), velocity (H, W, 2) in uv units (cur->prev), depth
     reversed-Z. Returns blurred color. frame_fraction scales the blur
     (shutter; the reference's motion_blur_scale)."""
+    from ..core.profiling import pass_scope
+
     h, w = color.shape[:2]
-    tiles = _tile_reduce_max(velocity, TILE)
-    tiles = _dilate_max(tiles)
-    tile_vel = im.upsample_bilinear(tiles, h, w) * frame_fraction
+    with pass_scope("tiles"):
+        tiles = _tile_reduce_max(velocity, TILE)
+        tiles = _dilate_max(tiles)
+        tile_vel = im.upsample_bilinear(tiles, h, w) * frame_fraction
 
     # Gather taps run at HALF RES through the Pallas warp kernel (blur is
     # low-frequency; full-res XLA gathers cost ~9 ms per tap) and composite
@@ -62,12 +67,14 @@ def motion_blur(color, velocity, depth, frame_fraction: float = 0.5):
     acc = jnp.zeros_like(color_h)
     wsum = jnp.zeros((hh, hw, 1), jnp.float32)
     for i in range(N_TAPS):
+      with pass_scope(f"tap{i}"):
         t = (i + 0.5) / N_TAPS - 0.5
         suv = uv_h + vel_h * t
         f = im.warp_nearest(packed, suv)
         c, d = f[..., :3], f[..., 3]
         # depth-aware: don't smear foreground over background
-        wgt = jnp.where(d[..., None] >= depth_h[..., None] * 0.95, 1.0, 0.25)
+        wgt = jnp.where(d[..., None] >= depth_h[..., None] * 0.95, 1.0,
+                        0.25)
         acc = acc + c * wgt
         wsum = wsum + wgt
     blur_h = acc / jnp.maximum(wsum, 1e-6)

@@ -172,6 +172,8 @@ def restir_diffuse(state, candidates, gb_h, reproj, frame_idx,
     rng = rng_mod.pixel_rng(px % jnp.uint32(hw), px // jnp.uint32(hw),
                             jnp.uint32(frame_idx), stream=41)
 
+    from ..core.profiling import pass_scope
+
     # ---- candidate reservoir (M=1)
     cand_payload = {"radiance": candidates["radiance"],
                     "hit": candidates["hit_pos"],
@@ -267,6 +269,7 @@ def restir_diffuse(state, candidates, gb_h, reproj, frame_idx,
     # is traced ONCE per pass instead of once per tap (compile-size diet,
     # round 4; ~11 unrolled bodies -> 2).
     for pass_idx, (radius, n_taps) in enumerate(((12.0, 7), (6.0, 4))):
+      with pass_scope(f"spatial{pass_idx}"):
         packed = pack(cur)
         t_rng = rng_mod.pixel_rng(trow % jnp.uint32(ntx),
                                   trow // jnp.uint32(ntx),

@@ -15,6 +15,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ..core.profiling import pass_scope
+
 from ..brdf.sampling import cosine_hemisphere, to_world
 from ..core import img as im
 from ..core import rng as rng_mod
@@ -206,10 +208,11 @@ def rtdgi_pipeline(ts, gb, view, frame_idx, state, reproj, sky_env,
                 jnp.asarray(frame_idx) % restir_gi.VALIDATE_PERIOD == 0,
                 do_validate, no_validate, restir_state)
 
-        res, new_restir_state = restir_gi.restir_diffuse(
-            restir_state, candidates, gb_h, reproj, frame_idx,
-            ssao_h=None if ssao is None else im.decimate2(ssao),
-            view=view)
+        with pass_scope("restir"):
+            res, new_restir_state = restir_gi.restir_diffuse(
+                restir_state, candidates, gb_h, reproj, frame_idx,
+                ssao_h=None if ssao is None else im.decimate2(ssao),
+                view=view)
         # the near/far split is SCREEN-SPACE by construction (an 80 px
         # near-field window, `near_field_settings.hlsl`): at production
         # resolutions it covers true contact scale, but below ~480 rows it
@@ -217,9 +220,10 @@ def rtdgi_pipeline(ts, gb, view, frame_idx, state, reproj, sky_env,
         # onto the unsmoothed 1-spp candidate term — so it engages only at
         # real resolutions
         split = gb["depth"].shape[0] >= 480
-        full = restir_gi.resolve(res, gb,
-                                 candidates=candidates if split else None,
-                                 ssao=ssao if split else None)
+        with pass_scope("resolve"):
+            full = restir_gi.resolve(res, gb,
+                                     candidates=candidates if split else None,
+                                     ssao=ssao if split else None)
     else:
         new_restir_state = restir_state
         # spatial pre-filter at half res (smoothing role of the ReSTIR
@@ -228,8 +232,10 @@ def rtdgi_pipeline(ts, gb, view, frame_idx, state, reproj, sky_env,
         full = _edge_aware_upsample(rad_h, gb)
 
     # temporal accumulation at full res (temporal_filter.hlsl)
-    fetched = reproject_planes(
-        {"h": state["rtdgi_history"], "l": state["rtdgi_hist_len"]}, reproj)
+    with pass_scope("temporal"):
+        fetched = reproject_planes(
+            {"h": state["rtdgi_history"], "l": state["rtdgi_hist_len"]},
+            reproj)
     hist = fetched["h"]
     hist_len = fetched["l"]
     hist_len = jnp.minimum(hist_len * reproj["validity"] + 1.0, 24.0)

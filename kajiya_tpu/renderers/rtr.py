@@ -27,6 +27,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..core.profiling import pass_scope
+
 from ..brdf import ggx
 from ..core import img as im
 from ..core import rng as rng_mod
@@ -343,6 +345,126 @@ def validate_reservoirs(ts, state, gb, sky_env, diffuse_env, frame_idx,
     return apply_validation(state, ctx, hit.t, fresh)
 
 
+def _resolve_footprint(res_planes, spec_h, ray_len_h, gb, view,
+                       near: float = 0.01):
+    """Full-res BRDF-lobe footprint resolve — the reference's
+    `rtr/resolve.hlsl` estimator (8-sample spiral, radius scaled to the
+    projected lobe footprint, each sample re-weighted by the center BRDF;
+    host table `rtr.rs:402+` SPATIAL_RESOLVE_OFFSETS).
+
+    TPU-native form: the data-dependent spiral gather becomes a STATIC tap
+    lattice in half-res space (center + r=1 ring + r~2.8 ring = 13 pure
+    slice-shifts shared by all four output phases), and the footprint
+    dependence moves into per-pixel gaussian RING WEIGHTS — taps as static
+    shifts per roughness bin instead of an offset table. Each tap is
+    re-weighted exactly like `contrib_accum` in resolve.hlsl:
+      w = ring(sigma_px) * pdf_vndf_center(dir to neighbor's stored hit)
+          * W_neighbor * measure_conversion
+    with the reference's rejections (neighbor much rougher than center,
+    empty reservoirs) and its kernel-size law
+    sigma ~ sqrt(roughness)/4 * ray_len/(ray_len+eye_dist) (resolve.hlsl's
+    tan_theta / kernel_size_ws derivation, incl. the contact-sharpening
+    smoothstep clamp). Anisotropy (kernel_t1/t2 elongation) is the one
+    piece static shifts cannot express; documented deviation.
+
+    res_planes: dict with rtr_res_{radiance,dir,t,W,M} half-res planes (the
+    post-merge reservoirs). spec_h: center fallback estimate for lanes
+    whose neighborhood is empty. Returns (spec (H,W,3), ray_len (H,W))."""
+    import math
+
+    hh, hw = ray_len_h.shape
+    h, w = gb["depth"].shape
+
+    # ---- packed half-res neighbor plane (one shift per tap moves all 10
+    # channels): radiance(3), stored hit point(3), t(1), W(1), vz(1),
+    # roughness(1)
+    pos_h = im.decimate2(gb["pos"])
+    vz_h = im.decimate2(near / jnp.maximum(gb["depth"], 1e-12))
+    rough_h = im.decimate2(gb["roughness"])
+    rad_nb = res_planes["rtr_res_radiance"]
+    t_nb = res_planes["rtr_res_t"]
+    hit_nb = pos_h + res_planes["rtr_res_dir"] * t_nb[..., None]
+    w_nb = jnp.where(res_planes["rtr_res_M"] > 0.0,
+                     res_planes["rtr_res_W"], 0.0)
+    packed = jnp.concatenate([
+        rad_nb, hit_nb, t_nb[..., None], w_nb[..., None],
+        vz_h[..., None], rough_h[..., None]], axis=-1)
+
+    # tap lattice (half-res offsets) — shifted ONCE, reused by all phases
+    offsets = [(0, 0),
+               (0, 1), (0, -1), (1, 0), (-1, 0),
+               (1, 1), (1, -1), (-1, 1), (-1, -1),
+               (2, 2), (2, -2), (-2, 2), (-2, -2)]
+    radii = [math.hypot(dy, dx) for dy, dx in offsets]
+    taps = im.shift_stack(packed, offsets)      # (13, hh, hw, 10)
+
+    # ---- center planes per output phase (one packed split: 11 channels)
+    center = jnp.concatenate([
+        gb["normal"], gb["roughness"][..., None], gb["ray_dir"],
+        gb["pos"], near / jnp.maximum(gb["depth"], 1e-12)[..., None],
+        gb["hit"][..., None].astype(jnp.float32)], axis=-1)
+    center_ph = im.phase_split(center)
+
+    v2c11 = view.view_to_clip[1, 1]             # 1 / tan(fov_y / 2)
+    out_v = [[None, None], [None, None]]
+    out_t = [[None, None], [None, None]]
+    for py in (0, 1):
+        for px in (0, 1):
+            c = center_ph[py][px]
+            n_c, rough_c = c[..., 0:3], c[..., 3]
+            wo_c = -c[..., 4:7]
+            pos_c, vz_c, hit_c = c[..., 7:10], c[..., 10], c[..., 11]
+            d_c = jnp.sqrt(jnp.maximum(jnp.sum(
+                (pos_c - view.eye_position) ** 2, -1), 1e-8))
+
+            # footprint sigma in HALF-res pixels (resolve.hlsl kernel law,
+            # contact-sharpening clamp included)
+            rl = ray_len_h
+            cl = jnp.maximum(
+                rl, 0.2 * d_c * _sstep(0.0, 0.05 * d_c, rl))
+            tan_theta = jnp.sqrt(jnp.maximum(rough_c, 1e-4)) * 0.25
+            sigma = 0.25 * hh * tan_theta * v2c11 * cl / (cl + d_c)
+            sigma = jnp.clip(sigma, 0.7, 5.0)
+            inv2s2 = 1.0 / (2.0 * sigma * sigma)
+
+            acc = jnp.zeros((hh, hw, 3), jnp.float32)
+            wacc = jnp.zeros((hh, hw), jnp.float32)
+            tacc = jnp.zeros((hh, hw), jnp.float32)
+            for k, (r_k, (dy, dx)) in enumerate(zip(radii, offsets)):
+                nb = taps[k]
+                rad_k, hit_k = nb[..., 0:3], nb[..., 3:6]
+                t_k, w_k = nb[..., 6], nb[..., 7]
+                vz_k, rough_k = nb[..., 8], nb[..., 9]
+                dvec = hit_k - pos_c
+                c2h = jnp.sqrt(jnp.maximum(jnp.sum(dvec * dvec, -1), 1e-12))
+                wi = dvec / c2h[..., None]
+                pdf_c = ggx.pdf_vndf(rough_c, n_c, wo_c, wi)
+                # measure conversion, clamped >= the reference's
+                # RTR_MEASURE_CONVERSION_CLAMP_ATTENUATION=1 convention
+                conv = jnp.minimum((t_k / c2h) ** 2, 1.0)
+                ok = ((w_k > 0.0)
+                      & (rough_k <= rough_c * 2.0 + 1e-3)
+                      & (jnp.abs(vz_k - vz_c) < 0.15 * vz_c + 1e-4)
+                      & (jnp.sum(wi * n_c, -1) > 0.0))
+                wt = (jnp.exp(-(r_k * r_k) * inv2s2) * pdf_c * w_k * conv
+                      * ok.astype(jnp.float32))
+                acc = acc + rad_k * wt[..., None]
+                wacc = wacc + wt
+                tacc = tacc + t_k * wt
+            lo = wacc > 1e-10
+            out = jnp.where(lo[..., None], acc / jnp.maximum(
+                wacc, 1e-10)[..., None], spec_h)
+            out_v[py][px] = jnp.where(hit_c[..., None] > 0.5, out, 0.0)
+            out_t[py][px] = jnp.where(
+                lo, tacc / jnp.maximum(wacc, 1e-10), ray_len_h)
+    return im.weave2x2(out_v), im.weave2x2(out_t)
+
+
+def _sstep(lo, hi, x):
+    t = jnp.clip((x - lo) / jnp.maximum(hi - lo, 1e-12), 0.0, 1.0)
+    return t * t * (3.0 - 2.0 * t)
+
+
 def _resolve_full(spec_h, ray_len_h, gb, near: float = 0.01):
     """Half->full joint-bilateral resolve, roughness-aware (role of
     `rtr/resolve.hlsl`'s BRDF-footprint gather). Contact hardening: taps
@@ -438,21 +560,37 @@ def rtr_pipeline(ts, gb, view, frame_idx, state, reproj, sky_env, diffuse_env,
             res_state = jax.lax.cond(
                 jnp.asarray(frame_idx, jnp.int32) % VALIDATE_PERIOD == 0,
                 do_validate, lambda rs: rs, res_state)
-        spec_h, ray_len_h, res_state = restir_reflections(
-            res_state, half, gb, reproj, frame_idx,
-            rtdgi_candidates=rtdgi_candidates)
+        with pass_scope("restir"):
+            spec_h, ray_len_h, res_state = restir_reflections(
+                res_state, half, gb, reproj, frame_idx,
+                rtdgi_candidates=rtdgi_candidates)
     else:
         spec_h, ray_len_h = half["radiance"], half["ray_t"]
         res_state = {k: state[k] for k in res_keys}
 
-    full, ray_len = _resolve_full(spec_h, ray_len_h, gb)
+    if use_restir and res_keys:
+        res_planes = res_state
+    else:
+        # pseudo-reservoir from the fresh trace: W = 1/pdf makes the
+        # footprint estimator collapse to plain MIS-weighted averaging
+        res_planes = {
+            "rtr_res_radiance": half["radiance"],
+            "rtr_res_dir": half["wi"],
+            "rtr_res_t": half["ray_t"],
+            "rtr_res_W": 1.0 / jnp.maximum(half["pdf"], 1e-8),
+            "rtr_res_M": half["valid"].astype(jnp.float32),
+        }
+    with pass_scope("resolve"):
+        full, ray_len = _resolve_footprint(res_planes, spec_h, ray_len_h,
+                                           gb, view)
 
     # temporal: rougher surfaces tolerate longer history; mirrors converge
     # fast anyway (temporal_filter.hlsl + spatial_cleanup.hlsl roles).
     # Contact regions (short rays) shorten history too: they move with
     # parallax far faster than distant reflections.
-    fetched = reproject_planes(
-        {"h": state["rtr_history"], "l": state["rtr_hist_len"]}, reproj)
+    with pass_scope("temporal"):
+        fetched = reproject_planes(
+            {"h": state["rtr_history"], "l": state["rtr_hist_len"]}, reproj)
     hist = fetched["h"]
     hist_len = fetched["l"]
     contact = jnp.clip(ray_len / (near_len := 0.2), 0.0, 1.0)

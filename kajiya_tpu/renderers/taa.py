@@ -34,6 +34,8 @@ import math
 
 import jax.numpy as jnp
 
+from ..core.profiling import pass_scope
+
 from ..core import img as im
 from ..core.color import lin_to_ycbcr, luminance, ycbcr_to_lin
 
@@ -261,12 +263,14 @@ def taa(input_img, state, reproj, depth, jitter_px, out_h: int, out_w: int,
 
     # ---- pass 2: filter input (+ deviation) at render res, perceptual YCbCr
     iycc_raw = lin_to_ycbcr(decode_rgb(input_img))
-    fi, dev = _filter_input(iycc_raw, depth, 0.8)
+    with pass_scope("filter_input"):
+        fi, dev = _filter_input(iycc_raw, depth, 0.8)
 
     # ---- closest-velocity dilation at render res
     uv_rr = im.pixel_uv(h, w)
     vel = reproj["prev_uv"] - uv_rr
-    cvel_rr = _closest_velocity(depth, vel)
+    with pass_scope("closest_vel"):
+        cvel_rr = _closest_velocity(depth, vel)
 
     # ---- pass 1: reproject ALL temporal planes with one packed 9ch warp,
     # at the dilated closest-velocity lattice (reproject_history.hlsl)
@@ -277,7 +281,8 @@ def taa(input_img, state, reproj, depth, jitter_px, out_h: int, out_w: int,
                               state["taa_coverage"][..., None],
                               state["taa_smooth_var"],
                               state["taa_velocity"]], axis=-1)
-    fetched = im.warp_bilinear(packed, prev_uv_out)
+    with pass_scope("warp9"):
+        fetched = im.warp_bilinear(packed, prev_uv_out)
     hist_lin = jnp.maximum(fetched[..., 0:3], 0.0)
     rsvar = jnp.maximum(fetched[..., 4:7], 0.0)
     if pre_delta is not None:
@@ -293,12 +298,14 @@ def taa(input_img, state, reproj, depth, jitter_px, out_h: int, out_w: int,
 
     # ---- pass 3: filtered history at render res
     hist_rr = _to_render(rhist, h, w)
-    fh = _filter_history(_ycc(hist_rr), 2 if 1.0 / frac_x > 1.75 else 1)
+    with pass_scope("filter_history"):
+        fh = _filter_history(_ycc(hist_rr), 2 if 1.0 / frac_x > 1.75 else 1)
 
     # ---- passes 4-6: input probability
     svar_rr = _to_render(rsvar, h, w)
     vhist_rr = _to_render(rvel, h, w)
-    prob_rr = _input_prob(fi, dev, vel, fh, svar_rr, vhist_rr)
+    with pass_scope("input_prob"):
+        prob_rr = _input_prob(fi, dev, vel, fh, svar_rr, vhist_rr)
     input_prob = _to_out(prob_rr, out_h, out_w)[..., 0] \
         if not same_res else prob_rr
 
@@ -315,10 +322,11 @@ def taa(input_img, state, reproj, depth, jitter_px, out_h: int, out_w: int,
     bhist_ycc = _ycc(bhist_p[..., 0:3])
     bcov = bhist_p[..., 3]
 
-    center_sum, coverage, ex, ex2 = _unjitter_sample(
-        iycc_raw, jitter_px, h, w, out_h, out_w, 1.0)
-    bsum, bcover, _, _ = _unjitter_sample(
-        iycc_raw, jitter_px, h, w, out_h, out_w, 0.333)
+    with pass_scope("unjitter"):
+        center_sum, coverage, ex, ex2 = _unjitter_sample(
+            iycc_raw, jitter_px, h, w, out_h, out_w, 1.0)
+        bsum, bcover, _, _ = _unjitter_sample(
+            iycc_raw, jitter_px, h, w, out_h, out_w, 0.333)
     center = center_sum
     bcenter = bsum / jnp.maximum(bcover, 1e-20)[..., None]
 

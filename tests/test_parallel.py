@@ -65,8 +65,8 @@ class TestShardingQuality:
         should need only boundary-row collective-permutes and small
         reductions (histogram/exposure); a plane-sized all-gather means the
         partitioner replicated a pass instead of sharding it."""
-        from kajiya_tpu.parallel import (collective_summary,
-                                         compile_frame_sharded)
+        from kajiya_tpu.parallel.mesh import (check_sharding_quality,
+                                              compile_frame_sharded)
 
         ts, levels = setup
         h, w = 16 * N_DEV, 64
@@ -77,17 +77,14 @@ class TestShardingQuality:
         mesh = make_mesh(N_DEV)
         compiled = compile_frame_sharded(
             ts, init_frame_state(cfg), view, cfg, levels, mesh)
-        summary = collective_summary(compiled)
-        assert summary, "expected some collectives (halos / reductions)"
-        plane_bytes = h * w * 4                 # one full f32 frame plane
-        for kind, ent in summary.items():
-            assert ent["max_bytes"] < plane_bytes, (
-                f"{kind} moves {ent['max_bytes']}B >= a full "
-                f"{h}x{w} plane ({plane_bytes}B): partitioner gave up "
-                f"somewhere ({summary})")
+        summary, problems = check_sharding_quality(compiled, h, w)
+        assert not problems, problems
         # the halo traffic itself must exist (screen-space filters read
         # neighbor rows across shard boundaries)
         assert "collective-permute" in summary or "all-to-all" in summary, (
+            summary)
+        # halo permutes stay boundary-sized (well under one frame plane)
+        assert summary["collective-permute"]["max_bytes"] < h * w * 4, (
             summary)
 
 
