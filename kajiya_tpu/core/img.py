@@ -83,7 +83,8 @@ def pixel_uv(h: int, w: int):
     return jnp.stack(jnp.broadcast_arrays(u[None, :], v[:, None]), axis=-1)
 
 
-def warp_bilinear(img, uv, exact: bool = False):
+def warp_bilinear(img, uv, exact: bool = False,
+                  window_rows: int = 48):
     """Bilinear sample for LOCAL warps (reprojection/temporal fetches,
     bounded-radius taps): rides the Pallas two-hot matmul kernel on TPU
     (ops/warp_pallas.py — XLA's serial gather path costs ~50 ms per 1080p
@@ -96,12 +97,14 @@ def warp_bilinear(img, uv, exact: bool = False):
     rounding is ~2 px of history-fetch error at 1080p."""
     from ..ops import warp_pallas as wp
 
-    if wp.warp_supported(img, uv):
-        return wp.warp2d_pallas(img, uv, bilinear=True, exact=exact)
+    if wp.warp_supported(img, uv, window_rows):
+        return wp.warp2d_pallas(img, uv, bilinear=True, exact=exact,
+                                window_rows=window_rows)
     return sample_bilinear(img, uv)
 
 
-def warp_nearest(img, uv, exact: bool = False):
+def warp_nearest(img, uv, exact: bool = False,
+                 window_rows: int = 48):
     """Nearest-sample twin of `warp_bilinear`.
 
     NOT bit-exact by default: values ride a single bf16 MXU pass (~2^-8
@@ -112,8 +115,9 @@ def warp_nearest(img, uv, exact: bool = False):
     where 0.2% relative error is user-visible — costs ~6x MXU time."""
     from ..ops import warp_pallas as wp
 
-    if wp.warp_supported(img, uv):
-        return wp.warp2d_pallas(img, uv, bilinear=False, exact=exact)
+    if wp.warp_supported(img, uv, window_rows):
+        return wp.warp2d_pallas(img, uv, bilinear=False, exact=exact,
+                                window_rows=window_rows)
     return sample_nearest(img, uv)
 
 

@@ -55,7 +55,8 @@ X_SLACK = WW - TW - 128
 
 
 def _kernel(by_ref, bx_ref, u_ref, v_ref, img_ref, *rest,
-            h: int, w: int, c: int, bilinear: bool, exact: bool):
+            h: int, w: int, c: int, bilinear: bool, exact: bool,
+            wh: int = WH):
     out_refs = rest[:c]
     win = rest[c]
     sem = rest[c + 1]
@@ -74,7 +75,7 @@ def _kernel(by_ref, bx_ref, u_ref, v_ref, img_ref, *rest,
         by = pl.multiple_of(by_ref[tile], 8)
         bx = pl.multiple_of(bx_ref[tile], 128)
         pltpu.make_async_copy(
-            img_ref.at[:, pl.ds(by, WH), pl.ds(bx, WW)],
+            img_ref.at[:, pl.ds(by, wh), pl.ds(bx, WW)],
             win.at[slot], sem.at[slot]).start()
 
     slot = jax.lax.rem(t, 2)
@@ -109,7 +110,7 @@ def _kernel(by_ref, bx_ref, u_ref, v_ref, img_ref, *rest,
         x = jnp.floor(u * w)
         y = jnp.floor(v * h)
     xc = jnp.clip(jnp.clip(x, 0.0, w - 1.0) - bxf, 0.0, WW - 1.0)
-    yc = jnp.clip(jnp.clip(y, 0.0, h - 1.0) - byf, 0.0, WH - 1.0)
+    yc = jnp.clip(jnp.clip(y, 0.0, h - 1.0) - byf, 0.0, wh - 1.0)
 
     # (1, B) row vectors in tile-row-major pixel order (roll each row to
     # sublane 0 first: lane-concat requires matching sublane offsets)
@@ -120,16 +121,16 @@ def _kernel(by_ref, bx_ref, u_ref, v_ref, img_ref, *rest,
     yrow = jnp.concatenate([row0(yc, r) for r in range(TH)], axis=1)
     b = TH * TW
     colw = jax.lax.broadcasted_iota(jnp.int32, (WW, b), 0).astype(jnp.float32)
-    colh = jax.lax.broadcasted_iota(jnp.int32, (WH, b), 0).astype(jnp.float32)
+    colh = jax.lax.broadcasted_iota(jnp.int32, (wh, b), 0).astype(jnp.float32)
     mxt = jnp.maximum(0.0, 1.0 - jnp.abs(colw - xrow))   # (WW, B)
     myt = jnp.maximum(0.0, 1.0 - jnp.abs(colh - yrow))   # (WH, B)
 
     pltpu.make_async_copy(
-        img_ref.at[:, pl.ds(by, WH), pl.ds(bx, WW)],
+        img_ref.at[:, pl.ds(by, wh), pl.ds(bx, WW)],
         win.at[slot], sem.at[slot]).wait()
     # all channels ride ONE matmul: M = C*WH rows fill the MXU's 128-row
     # passes (a lone WH=48-row matmul wastes 62% of the array)
-    win_all = win[slot].reshape(c * WH, WW)
+    win_all = win[slot].reshape(c * wh, WW)
     # exact: 6-pass f32 emulation (bit-matches the XLA sampler, ~6x MXU
     # cost); fast: single bf16 pass (~0.2% rounding on values/weights —
     # invisible for radiance history, masks and 0/1 flags stay exact)
@@ -138,7 +139,7 @@ def _kernel(by_ref, bx_ref, u_ref, v_ref, img_ref, *rest,
     vmat = jax.lax.dot(win_all, mxt, precision=prec,
                        preferred_element_type=jnp.float32)      # (C*WH, B)
     for ch in range(c):
-        res = jnp.sum(myt * vmat[ch * WH:(ch + 1) * WH, :], axis=0,
+        res = jnp.sum(myt * vmat[ch * wh:(ch + 1) * wh, :], axis=0,
                       keepdims=True)                            # (1, B)
         # reassemble (1, B) -> (TH, TW) in registers (lane-roll each row
         # slice to offset 0, sublane-concat) and store the tile ONCE —
@@ -150,7 +151,7 @@ def _kernel(by_ref, bx_ref, u_ref, v_ref, img_ref, *rest,
 
 
 def warp2d_pallas(img, uv, bilinear: bool = True, exact: bool = False,
-                  interpret: bool = False):
+                  interpret: bool = False, window_rows: int = WH):
     """img: (H, W, C) or (H, W); uv: (H2, W2, 2) in [0,1] texture coords.
     Returns (H2, W2, C) samples of img at uv (clamp addressing), matching
     `core.img.sample_bilinear` / `sample_nearest` up to window locality."""
@@ -178,13 +179,14 @@ def warp2d_pallas(img, uv, bilinear: bool = True, exact: bool = False,
     ty = y0.reshape(nty, TH, ntx, TW).min(axis=(1, 3))
     tx = x0.reshape(nty, TH, ntx, TW).min(axis=(1, 3))
     # align origins down to the VMEM tiling (8 sublanes, 128 lanes)
-    by = ((jnp.clip(ty.astype(jnp.int32), 0, h - WH) // 8) * 8).reshape(-1)
+    wh = window_rows
+    by = ((jnp.clip(ty.astype(jnp.int32), 0, h - wh) // 8) * 8).reshape(-1)
     bx = ((jnp.clip(tx.astype(jnp.int32), 0, w - WW) // 128) * 128).reshape(-1)
 
     img_chw = jnp.transpose(img, (2, 0, 1))           # (C, H, W)
 
     kernel = functools.partial(_kernel, h=h, w=w, c=c, bilinear=bilinear,
-                               exact=exact)
+                               exact=exact, wh=wh)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nty, ntx),
@@ -198,7 +200,7 @@ def warp2d_pallas(img, uv, bilinear: bool = True, exact: bool = False,
         out_specs=[pl.BlockSpec((TH, TW), lambda i, j, *_: (i, j),
                                 memory_space=pltpu.VMEM)] * c,
         scratch_shapes=[
-            pltpu.VMEM((2, c, WH, WW), jnp.float32),
+            pltpu.VMEM((2, c, wh, WW), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -213,9 +215,9 @@ def warp2d_pallas(img, uv, bilinear: bool = True, exact: bool = False,
     return out[..., 0] if squeeze else out
 
 
-def warp_supported(img, uv) -> bool:
+def warp_supported(img, uv, window_rows: int = WH) -> bool:
     """Pallas path needs the window to fit and a real TPU backend."""
     h, w = img.shape[:2]
     c = 1 if img.ndim == 2 else img.shape[2]
-    return (h >= WH and w >= WW and c <= 16
+    return (h >= window_rows and w >= WW and c <= 16
             and jax.devices()[0].platform == "tpu")

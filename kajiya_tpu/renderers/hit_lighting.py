@@ -19,6 +19,8 @@ from ..rt.trace import scene_trace_shadow
 from ..sky.env import sample_env
 from ..world import hit_attributes
 
+from ..core.profiling import pass_scope
+
 RAY_EPS = 1e-4
 
 
@@ -68,8 +70,9 @@ def hit_radiance(ts, hit, ray_dir, sky_env, diffuse_env,
     cw = cone_spread * jnp.where(m, hit.t, 1.0)
     if cone_width0 is not None:
         cw = cw + cone_width0
-    attrs = hit_attributes(ts, hit, ray_dir, cone_width=cw,
-                           full_shading=full_shading)
+    with pass_scope("attrs"):
+        attrs = hit_attributes(ts, hit, ray_dir, cone_width=cw,
+                               full_shading=full_shading)
     pos, n = attrs["pos"], attrs["normal"]
 
     # --- sun direct at the hit (one shadow ray; the reference's 1 shadow/px)
@@ -78,9 +81,10 @@ def hit_radiance(ts, hit, ray_dir, sky_env, diffuse_env,
     # hit points scatter across the scene -> a divergent shadow batch;
     # sort=True re-buckets them by origin cell (shared sun direction) so
     # the culled tracer's beams stay tight (ops/raysort.py)
-    occ = scene_trace_shadow(ts, pos + attrs["geo_normal"] * RAY_EPS * 8,
-                       sun_dir, t_min=RAY_EPS, max_steps=max_trace_steps,
-                       sort=True)
+    with pass_scope("sun_nee"):
+        occ = scene_trace_shadow(
+            ts, pos + attrs["geo_normal"] * RAY_EPS * 8, sun_dir,
+            t_min=RAY_EPS, max_steps=max_trace_steps, sort=True)
     sun_vis = jnp.where(m & ~occ, cos_s, 0.0)
     albedo, _f0 = ggx.derive_lobes(attrs["base_color"], attrs["metallic"])
     direct = albedo / jnp.pi * ts.gpu.sun_radiance * sun_vis[:, None]
@@ -92,20 +96,22 @@ def hit_radiance(ts, hit, ray_dir, sky_env, diffuse_env,
         ls, rng = sample_triangle_light(ts, pos, rng)
         cos_g = dot3(n, ls["wi"])
         possible = m & ls["valid"] & (cos_g > 0.0)
-        occ_l = scene_trace_shadow(
-            ts, pos + attrs["geo_normal"] * RAY_EPS * 8, ls["wi"],
-            t_min=RAY_EPS, t_max=ls["dist"] - RAY_EPS * 10,
-            max_steps=max_trace_steps, sort=True)
+        with pass_scope("light_nee"):
+            occ_l = scene_trace_shadow(
+                ts, pos + attrs["geo_normal"] * RAY_EPS * 8, ls["wi"],
+                t_min=RAY_EPS, t_max=ls["dist"] - RAY_EPS * 10,
+                max_steps=max_trace_steps, sort=True)
         contrib = (albedo / jnp.pi * ls["emission"]
                    * (jnp.maximum(cos_g, 0.0)
                       / jnp.maximum(ls["pdf_sa"], 1e-9))[:, None])
         direct = direct + jnp.where((possible & ~occ_l)[:, None], contrib, 0.0)
 
     # --- ambient: irradiance cache (preferred) or convolved sky
-    if ircache_lookup is not None:
-        amb_irr = ircache_lookup(pos, n)
-    else:
-        amb_irr = sample_env(diffuse_env, n)
+    with pass_scope("ambient"):
+        if ircache_lookup is not None:
+            amb_irr = ircache_lookup(pos, n)
+        else:
+            amb_irr = sample_env(diffuse_env, n)
     ambient = albedo * amb_irr
 
     radiance = attrs["emissive"] + direct + ambient
@@ -117,7 +123,8 @@ def hit_radiance(ts, hit, ray_dir, sky_env, diffuse_env,
         # frame's hit_radiance calls); hit points project anywhere on
         # screen, so this stays on the XLA gather path (non-local)
         packed = jnp.concatenate([prev_lit, prev_depth[..., None]], axis=-1)
-        fetched = im.sample_nearest(packed, uv)
+        with pass_scope("screen_reuse"):
+            fetched = im.sample_nearest(packed, uv)
         reused, pd = fetched[:, :3], fetched[:, 3]
         # depth check: is the stored surface the one we hit?
         wv = view.world_to_view_prev

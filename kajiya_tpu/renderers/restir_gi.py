@@ -137,7 +137,11 @@ def _occluded(pos, hit, vz_h, view, near, samples, max_px: float = 8.0):
         uv = uv0 + delta * (scale * s)[..., None]
         # view-z approximately linear along the clamped screen segment
         z_e = z0 + (z1 - z0) * scale * s
-        z_s = im.warp_nearest(vz_h[..., None], jnp.clip(uv, 0.0, 1.0))[..., 0]
+        # max_px=8 bounds the fetch: 16-row tile + 2*8 px offsets + 7
+        # align rows fit a 40-row window (17% less DMA amplification
+        # than the default 48; the window is this warp's entire cost)
+        z_s = im.warp_nearest(vz_h[..., None], jnp.clip(uv, 0.0, 1.0),
+                              window_rows=40)[..., 0]
         rel = (z_e - z_s) / jnp.maximum(z_s, 1e-4)
         occ = occ | (inb1 & (rel > 0.05) & (rel < 0.6))
     return occ
@@ -308,11 +312,19 @@ def restir_diffuse(state, candidates, gb_h, reproj, frame_idx,
 
         import jax
 
-        carry, _ = jax.lax.scan(tap_body, res13(cur), (dy_s, dx_s, u_s))
+        carry, _ = jax.lax.scan(tap_body, res13(cur), (dy_s, dx_s, u_s),
+                                unroll=SPATIAL_UNROLL)
         cur = unres13(carry)
 
     return cur, next_state
 
+
+# Spatial tap scan unroll factor: the scan body alone measured ~1.5 ms/tap
+# on-chip (tools/micro_restir.py) — per-iteration dispatch + broken fusion,
+# not bandwidth. Unrolling lets XLA fuse across taps; the value trades
+# compile size (round-4's full unroll was dropped for compile diet) against
+# runtime.
+SPATIAL_UNROLL = 4
 
 VALIDATE_PERIOD = 3
 
