@@ -169,11 +169,15 @@ def render_frame(ts, state, view: ViewConstants, cfg: RenderConfig,
 
         sun_dir = ts.gpu.sun_direction
         sky_env_bg = lambda d: sky_radiance(d, sun_dir)         # noqa: E731
-        # secondary rays see a cheaper march (smooth sky; they get averaged)
-        sky_env = lambda d: sky_radiance(d, sun_dir, steps=6)   # noqa: E731
+        # secondary rays reconstruct the sky from SH9 of the small env map
+        # — the reference's secondary hits fetch the 64x64 sky CUBE, not
+        # the analytic atmosphere (rt/gbuffer.rmiss.hlsl), so a smooth
+        # reconstruction is parity; per-ray it is ~30 flops instead of a
+        # 6-step scattering march (was ~3 ms of the GI wavefront's shade)
         small = sky_env_mod.build_sky_env(sun_dir, res=32)
-        diffuse_env = sky_env_mod.sh9_irradiance_fn(
-            sky_env_mod.project_sh9(small))
+        sky_sh = sky_env_mod.project_sh9(small)
+        sky_env = sky_env_mod.sh9_radiance_fn(sky_sh)
+        diffuse_env = sky_env_mod.sh9_irradiance_fn(sky_sh)
 
     # --- primary visibility ("raster simple")
     with pass_scope("gbuffer"):
@@ -295,8 +299,23 @@ def render_frame(ts, state, view: ViewConstants, cfg: RenderConfig,
         def wrc_lookup(p, d, _st=wrc_state, _c=wrc_cfg):
             return wrc_mod.lookup(_st, _c, p, d)
 
+    # screen-space radiance reuse reads a QUARTER-res copy of last frame's
+    # lit image: the fetch is a non-local per-ray gather whose device cost
+    # drops ~1.7x once the source table is cache-resident (measured
+    # tools/micro_gather_table.py: 4.3 ns/row at 2M rows vs 2.5 ns at
+    # 130k), and the reused radiance feeds spatially-filtered GI terms
+    # where a 4x4 average is invisible. The depth-consistency test gets
+    # conservative at quarter res (edge mismatches reject the reuse and
+    # fall back to ircache ambient — the safe direction).
+    # halve only while the source stays >= ~480 px wide: at production
+    # resolutions that is a 4x decimation; tiny test frames keep full res
+    # (a 32x24 reuse source would wash the whole image into one blob)
+    prev_lit_q, prev_depth_q = state["prev_lit"], state["prev_depth"]
+    while prev_lit_q.shape[1] >= 960:
+        prev_lit_q = im.downsample_2x(prev_lit_q)
+        prev_depth_q = im.downsample_nearest(prev_depth_q)
     shade_kw = dict(
-        prev_lit=state["prev_lit"], prev_depth=state["prev_depth"],
+        prev_lit=prev_lit_q, prev_depth=prev_depth_q,
         view=view, ircache_lookup=ircache_lookup, max_trace_steps=mts,
         full_shading=cfg.secondary_full_shading, wrc_lookup=wrc_lookup)
     gb_h = rtdgi.half_gbuffer(gb) if (cfg.use_rtdgi or cfg.use_rtr) else None

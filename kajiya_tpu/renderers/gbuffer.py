@@ -83,7 +83,14 @@ def gbuffer_from_hit(ts: TraceScene, view: ViewConstants, hit, df,
     # per-pixel spread angle ~ 2*tan(fov_y/2)/H (ray_cone.hlsl /
     # `pixel_cone_spread_angle_from_image_height`); view_to_clip[1,1] is
     # 1/tan(fov_y/2). Drives the footprint-derived texture mip.
-    spread = 2.0 / (view.view_to_clip[1, 1] * height)
+    # The 0.3x shrink matches the reference PT's isotropic-cone
+    # compensation (`reference_path_trace.rgen.hlsl:128` "0.3 is a fudge
+    # factor"): a full isotropic cone picks the GRAZING-axis footprint and
+    # greys out minified textures the reference's anisotropic raster
+    # sampler keeps (measured: textured-cornell floor chroma 0.14 vs the
+    # oracle's 0.32 at 64x48); the residual under-filtering aliases into
+    # exactly what TAA integrates.
+    spread = 0.3 * 2.0 / (view.view_to_clip[1, 1] * height)
     cone_w = spread * jnp.where(hit.hit_mask, hit.t, 0.0)
     attrs = hit_attributes(ts, hit, df, no_normal_maps=no_normal_maps,
                            with_prev_pos=True, cone_width=cone_w)

@@ -164,6 +164,25 @@ def project_sh9(env_map):
     return dot_pad_n(m.T, env_map.reshape(-1, 3))
 
 
+def sh9_radiance_fn(sh_coeffs):
+    """Returns a callable d -> L(d): the SH9-reconstructed RADIANCE.
+
+    Role of the reference's 64x64 sky cube fetch at secondary hits
+    (`rt/gbuffer.rmiss.hlsl` samples `sky_cube_tex`, not the analytic
+    atmosphere): GI rays average the sky, so a smooth 9-term reconstruction
+    replaces a per-ray 6-step Rayleigh/Mie march (~30 VPU flops instead of
+    hundreds incl. transcendentals, measured ~3 ms/frame at the 1080p GI
+    wavefront). The sun disk is NOT in this term — direct sun is explicit
+    NEE everywhere (hit_lighting.py)."""
+    def fetch(d):
+        from ..ops.smallvec import matmul_small
+
+        basis = _sh9_basis(d)
+        return jnp.maximum(matmul_small(basis, sh_coeffs), 0.0)
+
+    return fetch
+
+
 def sh9_irradiance_fn(sh_coeffs):
     """Returns a callable n -> E(n)/pi from SH radiance coefficients (the
     gather-free stand-in for the convolved diffuse map)."""

@@ -93,6 +93,25 @@ class TestHybridVsOracle:
 
 
 @pytest.fixture(scope="module")
+def textured_albedo():
+    """One hybrid frame's gbuffer albedo on the textured cornell."""
+    import jax
+
+    from kajiya_tpu.scene.procedural import textured_cornell_box
+
+    gpu = build_gpu_scene(textured_cornell_box())
+    ts, levels = build_trace_scene(gpu)
+    view = make_view_constants((0, 0, 2.4), (0, 0, -1), fov_y_deg=55.0,
+                               width=W, height=H)
+    cfg = RenderConfig(width=W, height=H, max_trace_steps=256,
+                       use_taa=False, use_motion_blur=False)
+    state = init_frame_state(cfg)
+    _, out = jax.jit(
+        lambda s: render_frame(ts, s, view, cfg, levels=levels))(state)
+    return np.asarray(out["gbuffer"]["albedo"])
+
+
+@pytest.fixture(scope="module")
 def textured_pair():
     """Textured floor (checker albedo): PT oracle vs hybrid with FULL
     secondary shading vs hybrid with flat secondary shading. Quantifies the
@@ -136,17 +155,41 @@ class TestTexturedOracle:
     def test_primary_texture_visible(self, textured_pair):
         """The checker must appear in both renders. Metric: red-minus-blue
         chroma variation on the central floor columns (the orange/blue cells
-        alternate) far above the same metric on the white back wall — the
-        side walls are excluded because their red/green albedo would
-        dominate a plain luminance variance."""
+        alternate) above the same metric on the white back wall — the side
+        walls are excluded because their red/green albedo would dominate a
+        plain luminance variance.
+
+        Calibration note (ray-cone LOD): with footprint-filtered texturing
+        the 2-4 px checker cells of this 64x48 frame are legitimately
+        mip-softened (exactly as the reference's `ray_cone.hlsl` sampling
+        would), so the LIT-image ratio threshold is 1.3 — the strict
+        texture-pipeline check moved to the hybrid's albedo plane, where
+        the checker must stay crisp (measured: albedo ratio ~3.7, PT ~3.2,
+        lit ~1.7)."""
         pt, hy_full, _ = textured_pair
         cols = slice(W // 4, 3 * W // 4)
-        for img in (pt, hy_full):
+
+        def rb_ratio(img):
             floor_rb = img[-10:, cols, 0] - img[-10:, cols, 2]
             wall_rb = (img[H // 2 - 8: H // 2, cols, 0]
                        - img[H // 2 - 8: H // 2, cols, 2])
-            assert floor_rb.std() > 2.0 * wall_rb.std(), (
-                floor_rb.std(), wall_rb.std())
+            return floor_rb.std() / max(wall_rb.std(), 1e-6)
+
+        assert rb_ratio(pt) > 2.0, rb_ratio(pt)
+        assert rb_ratio(hy_full) > 1.3, rb_ratio(hy_full)
+
+    def test_primary_texture_albedo_crisp(self, textured_albedo):
+        """The hybrid gbuffer's albedo must carry the checker at full
+        contrast — texture fetch + ray-cone mip selection on the PRIMARY
+        hit (`raster_simple_ps.hlsl` role) is measured here without GI
+        noise in the metric."""
+        alb = textured_albedo
+        cols = slice(W // 4, 3 * W // 4)
+        floor_rb = alb[-10:, cols, 0] - alb[-10:, cols, 2]
+        wall_rb = (alb[H // 2 - 8: H // 2, cols, 0]
+                   - alb[H // 2 - 8: H // 2, cols, 2])
+        assert floor_rb.std() > 2.0 * wall_rb.std(), (
+            floor_rb.std(), wall_rb.std())
 
     def test_secondary_shading_bias_budget(self, textured_pair):
         """EXPLICIT budget for the flat-secondary bias (VERDICT r2 weak 2):

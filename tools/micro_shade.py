@@ -20,7 +20,7 @@ from kajiya_tpu.renderers.hit_lighting import hit_radiance
 from kajiya_tpu.rt.trace import scene_trace_closest
 from kajiya_tpu.scene.procedural import cornell_box
 from kajiya_tpu.scene.scene import build_gpu_scene
-from kajiya_tpu.sky.env import sh9_irradiance, sky_sh9
+from kajiya_tpu.sky import env as sky_env_mod
 from kajiya_tpu.world import build_trace_scene
 
 R = int(sys.argv[1]) if len(sys.argv) > 1 else (960 * 540 * 2)
@@ -29,8 +29,11 @@ gpu = build_gpu_scene(cornell_box())
 ts, levels = build_trace_scene(gpu)
 view = make_view_constants((0, 0, 2.4), (0, 0, -1), fov_y_deg=55.0,
                            width=1920, height=1080)
-sky_env = sky_sh9(gpu)
-diffuse_env = sh9_irradiance(sky_env)
+sun_dir = gpu.sun_direction
+small = sky_env_mod.build_sky_env(sun_dir, res=32)
+sky_sh = sky_env_mod.project_sh9(small)
+sky_env = sky_env_mod.sh9_radiance_fn(sky_sh)
+diffuse_env = sky_env_mod.sh9_irradiance_fn(sky_sh)
 
 rng = np.random.default_rng(0)
 org = jnp.asarray(rng.random((R, 3), np.float32) * 1.6 - 0.8)
@@ -38,8 +41,8 @@ d = rng.standard_normal((R, 3)).astype(np.float32)
 d /= np.linalg.norm(d, axis=-1, keepdims=True)
 d = jnp.asarray(d)
 rngs = jnp.asarray(rng.integers(0, 2**32, (R,), np.uint32))
-prev_lit = jnp.asarray(rng.random((1080, 1920, 3), np.float32))
-prev_depth = jnp.asarray(rng.random((1080, 1920), np.float32) * 0.5 + 0.1)
+prev_lit = jnp.asarray(rng.random((270, 480, 3), np.float32))
+prev_depth = jnp.asarray(rng.random((270, 480), np.float32) * 0.5 + 0.1)
 
 
 @jax.jit

@@ -108,8 +108,12 @@ for e in ev:
     head = "/".join(named) if named else None
     if not head:
         s = args.get("source") or ""
-        head = ("src:" + s.split("/")[-1].split(":")[0]) if s \
-            else "(unattributed)"
+        if s:
+            head = "src:" + s.split("/")[-1].split(":")[0]
+        else:
+            # explain unattributed device time by HLO op-name prefix
+            nm = e.get("name", "")
+            head = "(un)" + nm.split(".")[0][:24]
     agg[head] += dur
     total += dur
 
