@@ -240,16 +240,23 @@ def sort_blocks_by_distance(hit, dlb):
     return blist.astype(jnp.int32), dist_sorted, count
 
 
-def _kernel_culled(count_ref, o_ref, d_ref, tmax_ref, blist_hbm, bdist_hbm,
-                   coef_hbm, t_ref, tri_ref, u_ref, v_ref,
+def _kernel_culled(count_ref, rays_ref, blist_hbm, bdist_hbm,
+                   coef_hbm, out_ref,
                    blbuf, bdbuf, cbuf, blsem, bdsem, sem, *, t_min: float,
                    any_hit: bool, early_stop: bool):
     """Ray-sublane x tri-lane orientation: each visited block's 21
     coefficient rows arrive as ONE (CULL_ROWS, 128) DMA — minor dim = the
     128-tri lane width, so every manual memref_slice is (8,128)-tile
     aligned (current libtpu Mosaic enforces this). Intermediates are
-    (rb, 128) outer products; the closest-hit select reduces across lanes."""
-    rb = o_ref.shape[0]
+    (rb, 128) outer products; the closest-hit select reduces across lanes.
+
+    Per-ray I/O is LANE-MAJOR at the HLO boundary — one packed (8, rb)
+    input [o.xyz, 1, d.xyz, tmax] and one (4, rb) output [t, tri, u, v] —
+    because XLA lays a (R, 4)/(R, 1) pallas operand out in (8, 128) tiles
+    with the NARROW dim on lanes: 32-128x padding, 3.6 KB of HBM temp per
+    ray, 7.5 GB at a 1080p wavefront (the diorama OOM). The kernel
+    transposes the 16 KB bundle to ray-sublane once per chunk."""
+    rb = rays_ref.shape[1]
     tb = CULL_TB
     i = pl.program_id(0)
     cnt = count_ref[i]
@@ -287,11 +294,10 @@ def _kernel_culled(count_ref, o_ref, d_ref, tmax_ref, blist_hbm, bdist_hbm,
         0, jnp.minimum(jnp.int32(D - 1), cnt),
         lambda j, c: (start_dma(j, j), c)[1], 0)
 
-    o = o_ref[:]                          # (rb, 4)
-    d = d_ref[:]                          # (rb, 3)
-    ox, oy, oz, ow = (o[:, 0:1], o[:, 1:2], o[:, 2:3], o[:, 3:4])
-    dx, dy, dz = d[:, 0:1], d[:, 1:2], d[:, 2:3]
-    tmax = tmax_ref[:]                    # (rb, 1)
+    rt = rays_ref[:, :].T                 # (rb, 8): one 16 KB relayout
+    ox, oy, oz, ow = (rt[:, 0:1], rt[:, 1:2], rt[:, 2:3], rt[:, 3:4])
+    dx, dy, dz = rt[:, 4:5], rt[:, 5:6], rt[:, 6:7]
+    tmax = rt[:, 7:8]                     # (rb, 1)
 
     def visit(k, carry):
         t_best, tri_best, u_best, v_best = carry
@@ -374,10 +380,8 @@ def _kernel_culled(count_ref, o_ref, d_ref, tmax_ref, blist_hbm, bdist_hbm,
         k_end, jnp.minimum(cnt, k_end + D - 1),
         lambda j, c: (wait_dma(j, jax.lax.rem(j, D)), c)[1], 0)
 
-    t_ref[:, :] = t_best
-    tri_ref[:, :] = tri_best
-    u_ref[:, :] = u_best
-    v_ref[:, :] = v_best
+    out_ref[:, :] = jnp.concatenate(
+        [t_best, tri_best, u_best, v_best], axis=1).T    # (4, rb)
 
 
 def intersect_culled_pallas(woop, org, d, t_min=1e-4, t_max=None,
@@ -448,7 +452,10 @@ def intersect_culled_pallas(woop, org, d, t_min=1e-4, t_max=None,
     blist = blist.reshape(-1)                       # flat (nrb * nt_pad,)
     bdist = bdist.reshape(-1)
 
-    o_a = jnp.concatenate([org, jnp.ones((r, 1))], axis=-1)       # (R, 4)
+    # packed LANE-MAJOR per-ray bundle (see _kernel_culled docstring):
+    # rows [ox, oy, oz, 1, dx, dy, dz, tmax] -> (8, R), dense (8,128) tiles
+    rays = jnp.concatenate([org.T, jnp.ones((1, r)), d.T,
+                            t_max.reshape(1, r)], axis=0)          # (8, R)
     # coefficient table, tri-lane-major: per block CULL_ROWS x 128 rows
     # [a_o u(4), v(4), w(4) | a_d u(3), v(3), w(3) | pad(3)] so each
     # block's stream is ONE tile-aligned (24, 128) DMA
@@ -459,7 +466,6 @@ def intersect_culled_pallas(woop, org, d, t_min=1e-4, t_max=None,
                             jnp.zeros((CULL_ROWS - 21, nt, tb),
                                       jnp.float32)], axis=0)
     coef = coef.transpose(1, 0, 2).reshape(nt * CULL_ROWS, tb)
-    tmax2 = t_max.reshape(r, 1)
 
     kernel = _ft.partial(_kernel_culled, t_min=float(t_min), any_hit=any_hit,
                          early_stop=early_stop)
@@ -467,18 +473,14 @@ def intersect_culled_pallas(woop, org, d, t_min=1e-4, t_max=None,
         num_scalar_prefetch=1,
         grid=(nrb,),
         in_specs=[
-            pl.BlockSpec((rb, 4), lambda i, *_: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rb, 3), lambda i, *_: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rb, 1), lambda i, *_: (i, 0),
+            pl.BlockSpec((8, rb), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),      # blist (HBM)
             pl.BlockSpec(memory_space=pltpu.ANY),      # bdist (HBM)
             pl.BlockSpec(memory_space=pltpu.ANY),      # coef (HBM)
         ],
-        out_specs=[pl.BlockSpec((rb, 1), lambda i, *_: (i, 0),
-                                memory_space=pltpu.VMEM)] * 4,
+        out_specs=pl.BlockSpec((4, rb), lambda i, *_: (0, i),
+                               memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.SMEM((nt_pad,), jnp.int32),
             pltpu.SMEM((nt_pad,), jnp.float32),
@@ -488,17 +490,17 @@ def intersect_culled_pallas(woop, org, d, t_min=1e-4, t_max=None,
             pltpu.SemaphoreType.DMA((CULL_PREFETCH,)),
         ],
     )
-    t, tri, u, v = pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((r, 1), jnp.float32)] * 4,
+        out_shape=jax.ShapeDtypeStruct((4, r), jnp.float32),
         interpret=interpret,
-    )(count, o_a, d, tmax2, blist, bdist, coef)
+    )(count, rays, blist, bdist, coef)
 
-    t = t.reshape(-1)[:rtot]
-    tri_f = tri.reshape(-1)[:rtot]
+    t = out[0, :rtot]
+    tri_f = out[1, :rtot]
     tri_i = jnp.where(tri_f >= 0.0, tri_f.astype(jnp.int32), -1)
-    return t, tri_i, u.reshape(-1)[:rtot], v.reshape(-1)[:rtot]
+    return t, tri_i, out[2, :rtot], out[3, :rtot]
 
 
 def intersect_brute_pallas(woop, org, d, t_min=1e-4, t_max=None,

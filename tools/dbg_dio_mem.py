@@ -34,7 +34,13 @@ print("tris:", int(gpu.num_triangles), flush=True)
 ts, levels = build_trace_scene(gpu)
 view = make_view_constants((0.0, 0.6, 1.4), (0.0, -0.35, -1.0),
                            fov_y_deg=55.0, width=W, height=H)
-cfg = RenderConfig(width=W, height=H)
+kw = {}
+for flag in sys.argv[4:]:
+    k, _, v = flag.partition("=")
+    kw[k] = (v == "True") if v in ("True", "False") else (
+        int(v) if v.isdigit() else v)
+cfg = RenderConfig(width=W, height=H, **kw)
+print("cfg overrides:", kw, flush=True)
 state = init_frame_state(cfg)
 
 fn = jax.jit(lambda s: render_frame(ts, s, view, cfg, levels=levels))
