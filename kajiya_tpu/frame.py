@@ -71,6 +71,13 @@ class RenderConfig:
     wrc: WrcConfig = WrcConfig()
     use_motion_blur: bool = True
     motion_blur_scale: float = 0.5
+    # Depth of field: opt-in, mirroring the reference's unwired-by-default
+    # status (`world_render_passes.rs:250` is commented out there;
+    # `renderers/dof.rs` exists). Enabling inserts coc+gather after motion
+    # blur. focus_dist is in view-space units, aperture in CoC px/unit.
+    use_dof: bool = False
+    dof_focus_dist: float = 2.0
+    dof_aperture: float = 4.0
     # Shade secondary (GI/reflection/ircache) hits with interpolated vertex
     # attributes + mip-biased textures, as the reference's gbuffer.rchit
     # does. False trades textured color bleed for ~2x cheaper bounce rays
@@ -507,6 +514,18 @@ def render_frame(ts, state, view: ViewConstants, cfg: RenderConfig,
         with pass_scope("motion_blur"):
             aa = mb.motion_blur(aa, vel_out, depth_for_mb,
                                 frame_fraction=cfg.motion_blur_scale)
+
+    # --- depth of field ('coc'/'dof gather', renderers/dof.rs — opt-in)
+    if cfg.use_dof:
+        from .renderers import dof as dof_mod
+
+        depth_for_dof = gb["depth"]
+        if aa.shape[:2] != depth_for_dof.shape:
+            depth_for_dof = im.upsample_bilinear(
+                depth_for_dof, aa.shape[0], aa.shape[1])
+        with pass_scope("dof"):
+            aa = dof_mod.dof_gather(aa, depth_for_dof, cfg.dof_focus_dist,
+                                    cfg.dof_aperture, near=cfg.near)
 
     # --- post: exposure + glare + tonemap. `aa` is pre-exposed, so post
     # applies only the remainder (post_mult = exposure / pre_mult).

@@ -149,3 +149,21 @@ class TestWrc:
         assert np.all(np.isfinite(np.asarray(out["final"])))
         # probes saw the lit box: the atlas must no longer be all zeros
         assert float(np.abs(np.asarray(state["wrc_atlas"])).max()) > 0.0
+
+    def test_frame_with_dof_enabled(self, cornell_setup):
+        """DoF is opt-in (reference parity: `world_render_passes.rs:250` is
+        commented out there). Enabled, the frame must stay finite and a
+        defocused region must differ from the no-DoF frame."""
+        ts, levels, view = cornell_setup
+        base = dict(use_ircache=False, use_restir_gi=False, use_rtr=False,
+                    use_motion_blur=False, use_taa=False)
+        cfg0 = small_cfg(**base)
+        cfg1 = small_cfg(use_dof=True, dof_focus_dist=1.0, dof_aperture=8.0,
+                         **base)
+        s0, out0 = jax.jit(lambda s: render_frame(
+            ts, s, view, cfg0, levels=levels))(init_frame_state(cfg0))
+        s1, out1 = jax.jit(lambda s: render_frame(
+            ts, s, view, cfg1, levels=levels))(init_frame_state(cfg1))
+        a, b = np.asarray(out0["final"]), np.asarray(out1["final"])
+        assert np.all(np.isfinite(b))
+        assert np.abs(a - b).max() > 1e-3

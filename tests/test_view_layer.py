@@ -232,10 +232,15 @@ class TestStreamViewer:
 
         from kajiya_tpu.apps.stream import serve
 
+        from types import SimpleNamespace
+
+        from kajiya_tpu.frame import RenderConfig
+
         class StubRenderer:
-            class _Cfg:
-                width, height = 8, 6
-            cfg = _Cfg()
+            cfg = RenderConfig(width=8, height=6)
+            ts = SimpleNamespace(gpu=SimpleNamespace(
+                mat_emissive=np.zeros((1, 3), np.float32),
+                sun_direction=np.array([0.0, 1.0, 0.0], np.float32)))
             _last_error = None
 
             def draw(self, view):
@@ -270,11 +275,30 @@ class TestStreamViewer:
             assert snap[:4] == b"\x89PNG"
             st = json.loads(urllib.request.urlopen(
                 f"http://127.0.0.1:{port}/status", timeout=5).read())
-            assert st["debug_mode"] == "none"
+            assert st["config"]["debug_mode"] == "none"
+            assert st["show"] == "final"
             r = json.loads(urllib.request.urlopen(
                 f"http://127.0.0.1:{port}/set?ev=1.5&orbit=0.2",
                 timeout=5).read())
             assert r["ev"] == 1.5 and r["orbit"] == 0.2
+            # pass-output picker (GraphDebugHook analog) + generic config set
+            r = json.loads(urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/set?show=ssao&use_rtr=false"
+                "&roughness_scale=0.5", timeout=5).read())
+            assert (r["show"], r["use_rtr"], r["roughness_scale"]) == \
+                ("ssao", False, 0.5)
+            # unknown output advertises the menu (the /ui page builds on it)
+            r = json.loads(urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/set?show=zzz", timeout=5).read())
+            assert "gbuffer.albedo" in r["known_outputs"]
+            # sun controller mutates the traced array, no rebuild needed
+            r = json.loads(urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/set?sun=0,90", timeout=5).read())
+            assert abs(r["sun"][1] - 1.0) < 1e-6
+            # the imgui-analog panel serves
+            html = urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/ui", timeout=5).read()
+            assert b"Debug mode" in html
             stopev.set()
             srv.shutdown()
         finally:
