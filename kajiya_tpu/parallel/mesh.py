@@ -101,6 +101,15 @@ def collective_summary(compiled):
     state pytree is ~40 planes, so a blow-up is an order of magnitude above
     any single-plane gather).
 
+    Sizing rule: a replication fallback materializes ONE unsharded ARRAY,
+    so the classification metric is the largest single tuple ELEMENT, not
+    the tuple total. XLA legitimately batches independent payloads into
+    one tuple-valued collective — e.g. the ReSTIR spatial tap scan's
+    per-tap masked-partial-fetch reductions fuse into a single all-reduce
+    of (n_taps x 20-channel) arrays; same traffic as n_taps separate
+    collectives, fewer launches. Tuple totals still land in
+    `bytes`/`max_bytes` for traffic accounting.
+
     HLO result lines look like
       %name = f32[128,64]{1,0} all-gather(%op), ...
       %name = (f32[16,8]{...}, f32[16,8]{...}) all-to-all(...), ...
@@ -121,12 +130,15 @@ def collective_summary(compiled):
             continue
         result_ty, kind = m.group(1), m.group(2)
         nbytes = 0
+        elem_max = 0
         for dtype, dims in _shape.findall(result_ty):
             n = 1
             for dpart in dims.split(","):
                 if dpart:
                     n *= int(dpart)
-            nbytes += n * _elem_bytes.get(dtype, 4)
+            b = n * _elem_bytes.get(dtype, 4)
+            nbytes += b
+            elem_max = max(elem_max, b)
         ent = out.setdefault(kind, {"count": 0, "bytes": 0, "max_bytes": 0})
         ent["count"] += 1
         ent["bytes"] += nbytes
@@ -134,15 +146,15 @@ def collective_summary(compiled):
         op = re.search(r'op_name="([^"]*)"', line)
         if op and "ircache" in op.group(1):
             ent["cache_max_bytes"] = max(ent.get("cache_max_bytes", 0),
-                                         nbytes)
+                                         elem_max)
         else:
             ent["plane_max_bytes"] = max(ent.get("plane_max_bytes", 0),
-                                         nbytes)
+                                         elem_max)
     return out
 
 
 def check_sharding_quality(compiled, height: int, width: int,
-                           warp_planes: int = 20,
+                           warp_planes: int = 24,
                            cache_bytes: int = 8 << 20):
     """The sharding-quality contract, shared by tests and dryrun_multichip.
     Returns (summary, problems); empty problems = contract holds.
@@ -151,14 +163,18 @@ def check_sharding_quality(compiled, height: int, width: int,
     sharding, cornell 128x64 — tools/probe_collectives.py):
       * collective-permute, <= ~half a plane: halo rows for filter stencils
         and the boundary terms of near-diagonal one-hot resampling matmuls.
-      * all-gather / all-reduce of k*plane, k <= ~15: distributed gathers —
-        screen-space reuse and temporal warps fetch from whichever row
-        shard owns the source pixel (GSPMD: all-gather the (rays, 2)
-        indices, all-reduce the masked partial fetch), and one-hot
-        resample matmuls contract over the sharded row axis. k = channel
-        count of the warped bundle (TAA packed warp = 9, rtr resolve dot =
-        15), NOT the ~40-plane state: a replication fallback would blow
-        past `warp_planes` immediately.
+      * all-gather / all-reduce of k*plane, k <= ~20 per tuple ELEMENT:
+        distributed gathers — screen-space reuse and temporal warps fetch
+        from whichever row shard owns the source pixel (GSPMD: all-gather
+        the (rays, 2) indices, all-reduce the masked partial fetch), and
+        one-hot resample matmuls contract over the sharded row axis. k =
+        channel count of the warped bundle (TAA packed warp = 9, rtr
+        resolve dot = 15, ReSTIR spatial tap = 20 incl. fallback padding),
+        NOT the ~40-plane state: a replication fallback materializes one
+        array spanning the state and would blow past `warp_planes`
+        immediately. XLA may batch many such elements into one
+        tuple-valued collective (the tap scan's 7 taps fuse into a single
+        all-reduce) — sizing is per element (see collective_summary).
       * ircache scatter/gather reductions: pool-sized (scene-structure)
         constants, independent of resolution — sharded rays voting into
         the replicated cache via psum is the intended design (SURVEY
